@@ -1,0 +1,132 @@
+"""Snapshot-manifest table catalog — the Iceberg-shaped fallback.
+
+The Iceberg runtime jar is not on this image (SURVEY.md §1.2), so the
+engine gets the three Iceberg semantics it relies on from a tiny
+manifest layer over partitioned Parquet:
+
+- **snapshot isolation**: a commit publishes a JSON manifest listing,
+  per table, the exact set of data directories that make up that
+  snapshot; readers pin one manifest.
+- **atomic multi-table commit**: one crawl micro-cycle appends to
+  several tables; all become visible together via a single
+  `os.replace` of the `_CURRENT` pointer (atomic on POSIX).
+- **time travel / exact resume**: every manifest records its
+  `cycle_id`; resume re-reads the last committed manifest, so a crash
+  mid-cycle leaves only orphan data dirs that no manifest references.
+
+Layout::
+
+    warehouse/
+      data/<table>/<snap>-<n>/part-*.parquet   one dir per staged write
+      snapshots/s000042.json                   manifest (id, cycle_id, tables)
+      _CURRENT                                 name of live manifest
+
+On a cluster this maps 1:1 onto Iceberg: append→`writeTo(t).append()`,
+overwrite→`overwrite()`, commit→Iceberg's own snapshot; `Catalog` is
+the seam where the real connector plugs in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TABLE_SCHEMAS
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str | os.PathLike):
+        self.spark = spark
+        self.root = Path(root)
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+        (self.root / "snapshots").mkdir(parents=True, exist_ok=True)
+
+    # -- snapshot plumbing -------------------------------------------------
+
+    def _current_name(self) -> str | None:
+        p = self.root / "_CURRENT"
+        if not p.exists():
+            return None
+        return p.read_text().strip() or None
+
+    def current_snapshot(self) -> dict | None:
+        name = self._current_name()
+        if name is None:
+            return None
+        return json.loads((self.root / "snapshots" / name).read_text())
+
+    def snapshot(self, name: str) -> dict:
+        return json.loads((self.root / "snapshots" / name).read_text())
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, table: str, snap: dict | None = None) -> DataFrame:
+        """Read a table pinned to a snapshot (default: current)."""
+        snap = snap if snap is not None else self.current_snapshot()
+        dirs = (snap or {}).get("tables", {}).get(table, [])
+        if not dirs:
+            return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
+        # Each staged dir is its own partitioned-parquet root; union them
+        # (manifest-listed dirs ≈ Iceberg manifests listing data files).
+        parts = [
+            self.spark.read.schema(TABLE_SCHEMAS[table]).parquet(str(self.root / d))
+            for d in dirs
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    # -- writes ------------------------------------------------------------
+
+    def begin(self) -> "Transaction":
+        return Transaction(self)
+
+
+class Transaction:
+    """Stages appends/overwrites; nothing is visible until commit()."""
+
+    def __init__(self, cat: Catalog):
+        self.cat = cat
+        parent = cat.current_snapshot()
+        self.parent_id = parent["id"] if parent else 0
+        self.snap_id = self.parent_id + 1
+        self.tables: dict[str, list[str]] = {
+            t: list(ds) for t, ds in ((parent or {}).get("tables") or {}).items()
+        }
+        self._n = 0
+
+    def _stage(self, table: str, df: DataFrame, partition_by: list[str] | None) -> str:
+        self._n += 1
+        rel = f"data/{table}/s{self.snap_id:06d}-{self._n:03d}"
+        w = df.write.mode("error")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(self.cat.root / rel))
+        return rel
+
+    def append(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        rel = self._stage(table, df, partition_by)
+        self.tables.setdefault(table, []).append(rel)
+
+    def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        rel = self._stage(table, df, partition_by)
+        self.tables[table] = [rel]
+
+    def commit(self, cycle_id: int, meta: dict | None = None) -> dict:
+        snap = {
+            "id": self.snap_id,
+            "parent": self.parent_id,
+            "cycle_id": cycle_id,
+            "tables": self.tables,
+            "meta": meta or {},
+        }
+        name = f"s{self.snap_id:06d}.json"
+        (self.cat.root / "snapshots" / name).write_text(json.dumps(snap, indent=1))
+        tmp = self.cat.root / "_CURRENT.tmp"
+        tmp.write_text(name)
+        os.replace(tmp, self.cat.root / "_CURRENT")  # the atomic publish
+        return snap

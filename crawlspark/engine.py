@@ -1,0 +1,298 @@
+"""The crawl micro-cycle engine (SURVEY.md §3.2).
+
+One `run_cycle` is the batch re-expression of the reference's
+queue-consumer loop (reserve → seen-check → fetch → parse → enqueue →
+ack): read the frontier snapshot, refill politeness tokens, take the
+per-host-capped global top-B by (score, seq) — beanstalkd's
+priority-FIFO drain order — fetch deterministically, extract + dedup
+discovered links, and commit all table deltas atomically (the batch
+'ack'; a crash before commit re-runs the whole cycle exactly, the
+batch analogue of beanstalkd's TTR re-release, but exactly-once
+because the commit is atomic).
+
+Dataflow (shuffle boundaries marked):
+
+    frontier ANTI scheduled        → queued           [shuffle: hash on url_hash]
+    ⋈ broadcast(host caps)         → candidates       [no shuffle]
+    two-phase salted window cap    → capped           [shuffle: (host,host_salt)]
+    orderBy(score,seq).limit(B)    → batch            [TakeOrdered, no full sort]
+    mapInPandas fetch → posexplode → links            [narrow]
+    canonicalize/robots/score      → candidates       [narrow + broadcast join]
+    window dedup (url_norm)        → deduped          [shuffle: url_norm]
+    bloom cogroup + exact anti     → novel            [shuffle: part / url_hash]
+    seq window + appends + commit                     [writes]
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .gen import host_config_df, seeds_df
+from .operators import fetch as fetch_ops
+from .operators import politeness, schedule, seen
+from .schemas import METRICS
+from .synth import GraphConfig
+from .urlnorm import canonicalize_udf, with_url_parts
+
+FRONTIER_COLS = [
+    "url_norm", "url_hash", "host", "host_salt", "depth",
+    "site_priority", "score", "seq", "discovered_from", "cycle_id",
+]
+
+
+@dataclass
+class EngineConfig:
+    graph: GraphConfig = field(default_factory=GraphConfig)
+    warehouse: str = "/tmp/crawlspark-warehouse"
+    n_seen_parts: int = 16
+    n_salt: int = 8
+    bloom_nbits: int = seen.NBITS_DEFAULT
+    bloom_k: int = seen.K_DEFAULT
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.cat = Catalog(spark, cfg.warehouse)
+        self.max_seq: int = 0
+
+    # -- helpers -------------------------------------------------------------
+
+    def _part(self, col: str = "url_hash"):
+        return F.pmod(F.col(col), F.lit(self.cfg.n_seen_parts)).cast("int")
+
+    def _host_config(self) -> DataFrame:
+        return host_config_df(self.spark, self.cfg.graph)
+
+    # -- cycle 0: seed bootstrap ----------------------------------------------
+
+    def bootstrap(self) -> dict:
+        """Idempotent: resumes from the last committed snapshot if one
+        exists (C16 exact resume), else seeds cycle 0."""
+        snap = self.cat.current_snapshot()
+        if snap is not None:
+            self.max_seq = (
+                self.cat.read("frontier", snap).agg(F.max("seq")).collect()[0][0] or 0
+            )
+            return snap
+
+        g = self.cfg.graph
+        hc = self._host_config()
+        f0 = (
+            seeds_df(self.spark, g)
+            .withColumn("url_norm", canonicalize_udf("url"))
+            .filter(F.col("url_norm").isNotNull())
+        )
+        f0 = with_url_parts(f0)
+        f0 = politeness.robots_filter(f0, hc)
+        w_dedup = Window.partitionBy("url_norm").orderBy("pos")
+        f0 = f0.withColumn("rn", F.row_number().over(w_dedup)).filter(F.col("rn") == 1)
+        f0 = schedule.with_salt(f0, self.cfg.n_salt)
+        f0 = f0.withColumn("depth", F.lit(0))
+        f0 = schedule.with_score(f0)
+        f0 = (
+            f0.withColumn("seq", F.row_number().over(Window.orderBy("pos")).cast("long"))
+            .withColumn("discovered_from", F.lit(None).cast("string"))
+            .withColumn("cycle_id", F.lit(0).cast("long"))
+        )
+        frontier0 = f0.select(*FRONTIER_COLS).persist()
+        n_seeds = frontier0.count()
+        self.max_seq = n_seeds
+
+        seen0 = frontier0.select(
+            "url_hash", "url_norm", F.lit(0).cast("long").alias("first_cycle"),
+            self._part().alias("part"),
+        )
+        bloom0 = seen.fold_bloom(
+            seen0.select("part", "url_hash"),
+            self.cat.read("bloom_seen"),  # empty
+            cycle_id=0, nbits=self.cfg.bloom_nbits, k=self.cfg.bloom_k,
+        )
+        hs0 = hc.select(
+            "host", F.col("token_capacity").alias("tokens"),
+            F.lit(0).cast("long").alias("last_cycle"),
+        )
+        m0 = self.spark.createDataFrame(
+            [(0, -1, n_seeds, 0, 0, 0, 0)], METRICS
+        )
+        txn = self.cat.begin()
+        txn.append("frontier", frontier0)
+        txn.append("url_seen", seen0, partition_by=["part"])
+        txn.overwrite("bloom_seen", bloom0)
+        txn.overwrite("host_state", hs0)
+        txn.overwrite("host_config", hc)
+        txn.append("metrics", m0)
+        snap = txn.commit(cycle_id=0, meta={"n_seeds": n_seeds})
+        frontier0.unpersist()
+        return snap
+
+    # -- one micro-cycle --------------------------------------------------------
+
+    def run_cycle(self, c: int) -> dict:
+        t0 = time.time()
+        g = self.cfg.graph
+        snap = self.cat.current_snapshot()
+        frontier = self.cat.read("frontier", snap)
+        scheduled_log = self.cat.read("scheduled", snap)
+        url_seen = self.cat.read("url_seen", snap)
+        bloom = self.cat.read("bloom_seen", snap)
+        host_state = self.cat.read("host_state", snap)
+        hc = self.cat.read("host_config", snap)
+
+        # QUEUED = discovered but never scheduled (append-only logs; the
+        # Iceberg upgrade path is MERGE INTO state flips).
+        queued = frontier.join(
+            scheduled_log.select("url_hash", "url_norm"),
+            ["url_hash", "url_norm"], "left_anti",
+        )
+
+        hs_ref = politeness.refill_tokens(host_state, hc)  # host, tokens_refilled, cap
+        capped = schedule.per_host_cap(queued, hs_ref.select("host", "cap"))
+        batch = schedule.global_schedule(capped, g.batch_size).persist()
+        n_sched = batch.count()
+        if n_sched == 0:
+            batch.unpersist()
+            return {"cycle": c, "scheduled": 0, "deduped": 0, "discovered": 0,
+                    "wall_ms": int((time.time() - t0) * 1000), "stop": True}
+
+        # fetch + parse
+        docs = fetch_ops.fetch_batch(batch, g, c).persist()
+        links = fetch_ops.extract_links(docs)
+        cand = (
+            links.withColumn("url_norm", canonicalize_udf("raw_url"))
+            .filter(F.col("url_norm").isNotNull())
+            .drop("raw_url")
+            .withColumn("depth", (F.col("depth") + 1).cast("int"))
+        )
+        cand = with_url_parts(cand)
+        cand = politeness.robots_filter(cand, hc)
+        cand = schedule.with_score(cand)
+        cand = schedule.with_salt(cand, self.cfg.n_salt)
+        cand = cand.withColumn("part", self._part())
+        cand = schedule.dedup_within_batch(cand).persist()
+        n_cand = cand.count()
+
+        novel = seen.seen_filter(cand, url_seen, bloom)
+        novel = schedule.assign_seq(novel, self.max_seq)
+        novel_rows = (
+            novel.withColumn("discovered_from", F.col("doc_id"))
+            .withColumn("cycle_id", F.lit(c).cast("long"))
+            .select(*FRONTIER_COLS, "part")
+            .persist()
+        )
+        n_novel = novel_rows.count()
+        self.max_seq += n_novel
+
+        # politeness state carry-over: spent = actually scheduled
+        spent = batch.groupBy("host").agg(F.count("*").alias("n_spent"))
+        hs_new = (
+            hs_ref.join(spent, "host", "left")
+            .select(
+                "host",
+                (F.col("tokens_refilled") - F.coalesce(F.col("n_spent"), F.lit(0))).alias("tokens"),
+                F.lit(c).cast("long").alias("last_cycle"),
+            )
+        )
+
+        bloom_new = seen.fold_bloom(
+            novel_rows.select("part", "url_hash"), bloom,
+            cycle_id=c, nbits=self.cfg.bloom_nbits, k=self.cfg.bloom_k,
+        )
+
+        fetch_log = docs.select(
+            F.lit(c).cast("long").alias("cycle_id"),
+            F.xxhash64("doc_id").alias("url_hash"),
+            "host",
+            F.lit(200).alias("status"),
+            F.timestamp_seconds(F.lit(1704067200) + F.lit(c)).alias("fetched_at"),
+            fetch_ops.doc_bytes_col().alias("bytes"),
+        )
+
+        # per-partition (host_salt) lineage + counters, computed in-plan
+        m_in = queued.groupBy("host_salt").agg(F.count("*").alias("urls_in"))
+        m_sched = batch.groupBy("host_salt").agg(F.count("*").alias("urls_scheduled"))
+        m_cand = cand.groupBy("host_salt").agg(F.count("*").alias("n_cand"))
+        m_novel = novel_rows.groupBy("host_salt").agg(F.count("*").alias("n_novel"))
+        metrics = (
+            m_in.join(m_sched, "host_salt", "full")
+            .join(m_cand, "host_salt", "full")
+            .join(m_novel, "host_salt", "full")
+            .select(
+                F.lit(c).cast("long").alias("cycle_id"),
+                F.col("host_salt").alias("part"),
+                F.coalesce("urls_in", F.lit(0)).cast("long").alias("urls_in"),
+                (F.coalesce("n_cand", F.lit(0)) - F.coalesce("n_novel", F.lit(0)))
+                .cast("long").alias("urls_deduped"),
+                F.coalesce("urls_scheduled", F.lit(0)).cast("long").alias("urls_scheduled"),
+                F.coalesce("urls_scheduled", F.lit(0)).cast("long").alias("docs_written"),
+                F.lit(0).cast("long").alias("wall_ms"),
+            )
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        m_wall = self.spark.createDataFrame(
+            [(c, -1, 0, n_cand - n_novel, n_sched, n_sched, wall_ms)], METRICS
+        )
+
+        txn = self.cat.begin()
+        txn.append("frontier", novel_rows.select(*FRONTIER_COLS))
+        txn.append(
+            "scheduled",
+            batch.select(
+                F.lit(c).cast("long").alias("cycle_id"), "batch_pos",
+                "url_norm", "url_hash", "host", "host_salt", "score", "seq", "depth",
+            ),
+        )
+        txn.append("documents", docs.select("doc_id", "fetch_cycle", "host", "spans"))
+        txn.append(
+            "url_seen",
+            novel_rows.select(
+                "url_hash", "url_norm",
+                F.lit(c).cast("long").alias("first_cycle"), "part",
+            ),
+            partition_by=["part"],
+        )
+        txn.overwrite("bloom_seen", bloom_new)
+        txn.overwrite("host_state", hs_new)
+        txn.append("fetch_log", fetch_log)
+        txn.append("metrics", metrics.unionByName(m_wall))
+        txn.commit(cycle_id=c, meta={"scheduled": n_sched, "discovered": n_novel})
+
+        for df in (batch, docs, cand, novel_rows):
+            df.unpersist()
+        return {
+            "cycle": c, "scheduled": n_sched, "discovered": n_novel,
+            "deduped": n_cand - n_novel, "wall_ms": int((time.time() - t0) * 1000),
+            "stop": False,
+        }
+
+    # -- driver loop --------------------------------------------------------------
+
+    def run(self, max_cycles: int | None = None) -> list[dict]:
+        snap = self.bootstrap()
+        start = snap["cycle_id"] + 1
+        end = max_cycles if max_cycles is not None else self.cfg.graph.max_cycles
+        stats = []
+        for c in range(start, end + 1):
+            st = self.run_cycle(c)
+            stats.append(st)
+            if st["stop"]:
+                break
+        return stats
+
+    # -- verification views ----------------------------------------------------
+
+    def crawl_order(self) -> DataFrame:
+        """The crawl-ordering contract: scheduled URLs in execution order."""
+        return self.cat.read("scheduled").orderBy("cycle_id", "batch_pos")
+
+    def seen_set(self) -> DataFrame:
+        return self.cat.read("url_seen").select("url_norm", "first_cycle")
+
+    def documents(self) -> DataFrame:
+        return self.cat.read("documents")

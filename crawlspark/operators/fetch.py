@@ -1,0 +1,82 @@
+"""Fetch + parse operators (C12 fetch_exec, C13 link_extract,
+C14 span_assemble).
+
+C12 replaces the reference's Thrift-dispatched HTTP worker pool with a
+hermetic deterministic page generator running in `mapInPandas` — same
+interface a real async-HTTP fetcher would use (Arrow batch of URLs in,
+Arrow batch of span-documents out), so swapping in a network fetcher
+touches only `make_fetcher`.
+
+C13 is pure JVM: posexplode(spans) → regexp_extract_all(href) →
+posexplode — link order is (span_pos, link_pos), matching a serial
+parser walking the document top-to-bottom.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import SPAN
+from ..synth import GraphConfig
+
+HREF_PATTERN = r'href="([^"]+)"'
+
+
+def fetch_batch(batch: DataFrame, cfg: GraphConfig, cycle_id: int) -> DataFrame:
+    """C12: batch(url_norm, host, depth, batch_pos, ...) → documents
+    with interleaved text+media spans (input_hint shape)."""
+    in_schema = batch.select("url_norm", "host", "depth", "batch_pos").schema
+    out_schema = T.StructType(list(in_schema) + [T.StructField("spans", T.ArrayType(SPAN), False)])
+
+    def fetcher(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            spans = [
+                cfg.page_spans(*cfg.url_to_page(u)) for u in pdf["url_norm"]
+            ]
+            yield pdf.assign(spans=spans)
+
+    docs = batch.select("url_norm", "host", "depth", "batch_pos").mapInPandas(
+        fetcher, schema=out_schema
+    )
+    return docs.withColumn("fetch_cycle", F.lit(cycle_id).cast("long")).withColumn(
+        "doc_id", F.col("url_norm")
+    )
+
+
+def extract_links(docs: DataFrame) -> DataFrame:
+    """C13: document spans → (batch_pos, span_pos, link_pos, raw_url,
+    parent depth). Whole-stage-codegen'd — no Python."""
+    spans = docs.select(
+        "doc_id",
+        "depth",
+        "batch_pos",
+        F.posexplode("spans").alias("span_pos", "span"),
+    ).filter(F.col("span.kind") == "text")
+    return (
+        spans.select(
+            "doc_id",
+            "depth",
+            "batch_pos",
+            "span_pos",
+            F.posexplode(
+                F.regexp_extract_all(F.col("span.text"), F.lit(HREF_PATTERN), F.lit(1))
+            ).alias("link_pos", "raw_url"),
+        )
+    )
+
+
+def doc_bytes_col():
+    """Deterministic 'response size': text lengths + 64 per media span
+    (JVM higher-order aggregate; used by fetch_log)."""
+    return F.aggregate(
+        "spans",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.length(F.coalesce(s["text"], F.lit("")))
+        + F.when(s["kind"] == "media", F.lit(64)).otherwise(F.lit(0)),
+    )

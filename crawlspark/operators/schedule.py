@@ -1,0 +1,91 @@
+"""Priority scheduling (C8–C11, C18): reproduce beanstalkd's drain
+order — priority ascending, FIFO within equal priority — as a
+deterministic batch computation (SURVEY.md §2.1, §3).
+
+score = depth + site_priority (lower = sooner), FIFO tie-break on
+`seq`, a deterministic discovery sequence number (never
+monotonically_increasing_id, which is partition-layout-dependent).
+
+Skew: one mega-host must not serialize a whole partition, so the
+per-host fan-out cap runs in two phases over `host_salt`
+(C11): phase 1 caps within (host, salt) — parallel across salts —
+then phase 2 takes the exact per-host top-cap from the ≤ S·cap
+survivors. AQE's skew-join splitting does not cover window skew, so
+this is explicit (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salt: int) -> DataFrame:
+    """C11: per-URL salt spreads a mega-host over n_salt buckets."""
+    return df.withColumn(
+        "host_salt", F.pmod(F.xxhash64(F.col("url_norm"), F.lit(1)), F.lit(n_salt)).cast("int")
+    )
+
+
+def with_score(df: DataFrame) -> DataFrame:
+    """C8: beanstalkd put-priority analogue (BASELINE.json formula)."""
+    return df.withColumn(
+        "score", (F.col("depth") + F.col("site_priority")).cast("long")
+    )
+
+
+def per_host_cap(queued: DataFrame, caps: DataFrame) -> DataFrame:
+    """C9: keep each host's best ≤ cap URLs by (score, seq).
+
+    Greedy priority-FIFO drain with per-host allowances selects, for
+    every host, exactly its top-cap candidates in global order — so
+    the capped union is semantically identical to the reference's
+    scan (proof sketch: within-host order is a suborder of the global
+    order, so a URL survives the scan iff it is among its host's first
+    cap candidates).
+    """
+    df = queued.join(F.broadcast(caps), "host", "inner").filter(F.col("cap") > 0)
+    w1 = Window.partitionBy("host", "host_salt").orderBy("score", "seq")
+    phase1 = df.withColumn("rn1", F.row_number().over(w1)).filter(
+        F.col("rn1") <= F.col("cap")
+    )
+    w2 = Window.partitionBy("host").orderBy("score", "seq")
+    return (
+        phase1.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= F.col("cap"))
+        .drop("rn1", "rn2", "cap")
+    )
+
+
+def global_schedule(capped: DataFrame, batch_size: int) -> DataFrame:
+    """C10: the cycle's fetch batch, with its position in the crawl
+    ordering. This IS the ordering contract vs the reference.
+
+    The final row_number window is single-partition but runs on ≤ B
+    rows (already limited); the limit itself is computed distributed
+    (TakeOrderedAndProject). Scale path for B ≫ 10^6: two-phase
+    rank (per-partition row_number + offset by partition counts).
+    """
+    batch = capped.orderBy("score", "seq").limit(batch_size)
+    w = Window.orderBy("score", "seq")
+    return batch.withColumn("batch_pos", F.row_number().over(w).cast("long"))
+
+
+def assign_seq(novel: DataFrame, base_seq: int) -> DataFrame:
+    """C18: deterministic FIFO sequence for this cycle's discoveries.
+
+    Arrival order is defined by (parent batch_pos, span_pos, link_pos)
+    — exactly the order a serial worker draining the batch would have
+    enqueued them. Runs on ≤ B·out_degree rows (post-dedup).
+    """
+    w = Window.orderBy("batch_pos", "span_pos", "link_pos")
+    return novel.withColumn(
+        "seq", (F.lit(base_seq) + F.row_number().over(w)).cast("long")
+    )
+
+
+def dedup_within_batch(cands: DataFrame) -> DataFrame:
+    """R23/C15: first discovery wins, deterministically — window
+    row_number, never dropDuplicates (nondeterministic tie-break)."""
+    w = Window.partitionBy("url_norm").orderBy("batch_pos", "span_pos", "link_pos")
+    return cands.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

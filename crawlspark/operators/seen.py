@@ -1,0 +1,133 @@
+"""URL-seen set: partitioned exact table + per-partition Bloom sidecar
+(operators C4 seen_filter / C5 bloom_build, SURVEY.md §2.1).
+
+The reference uses an exact KV membership set (Redis SADD/SISMEMBER,
+one round-trip per URL). At 10^10-URL scale the batch equivalent is:
+
+1. **Bloom prefilter** (cheap, partition-parallel): candidates are
+   cogrouped with their partition's Bloom bitset; a miss proves the
+   URL was never inserted (no false negatives by construction), so
+   only Bloom *hits* proceed to the expensive exact check.
+2. **Exact anti-join** against `url_seen` on (url_hash, url_norm) —
+   the url_norm equality guards against 64-bit hash collisions, which
+   the reference's exact set would never admit.
+
+Bitsets are one row per `part = pmod(url_hash, P)` in `bloom_seen`,
+folded incrementally each cycle via a cogrouped applyInPandas (no
+driver-side collect of hashes). All bit math is vectorized numpy over
+Arrow batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import BLOOM_SEEN
+
+NBITS_DEFAULT = 1 << 20  # 128 KiB per partition
+K_DEFAULT = 6
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bit_positions(hashes: np.ndarray, nbits: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Double hashing: pos_i = (h1 + i*h2) mod nbits. Returns (byte_idx, mask)
+    with shape (k, n)."""
+    h1 = hashes.view(np.uint64)
+    h2 = (h1 * _GOLDEN) | np.uint64(1)
+    idx = np.arange(k, dtype=np.uint64)[:, None]
+    pos = (h1[None, :] + idx * h2[None, :]) % np.uint64(nbits)
+    return (pos >> np.uint64(3)).astype(np.int64), (
+        np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+    )
+
+
+def _insert(bits: np.ndarray, hashes: np.ndarray, nbits: int, k: int) -> None:
+    byte_idx, mask = _bit_positions(hashes, nbits, k)
+    np.bitwise_or.at(bits, byte_idx.ravel(), mask.ravel())
+
+
+def _contains(bits: np.ndarray, hashes: np.ndarray, nbits: int, k: int) -> np.ndarray:
+    byte_idx, mask = _bit_positions(hashes, nbits, k)
+    hit = (bits[byte_idx] & mask) == mask
+    return hit.all(axis=0)
+
+
+def fold_bloom(
+    new_hashes: DataFrame,  # columns: part int, url_hash long
+    bloom: DataFrame,  # current bloom_seen table
+    cycle_id: int,
+    nbits: int = NBITS_DEFAULT,
+    k: int = K_DEFAULT,
+) -> DataFrame:
+    """OR this cycle's new url_hashes into each partition's bitset.
+    Partitions with no new hashes keep their old row (unioned below)."""
+
+    def fold(key: tuple, new_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(bloom_pdf):
+            bits = np.frombuffer(bloom_pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        else:
+            bits = np.zeros(nbits // 8, dtype=np.uint8)
+        if len(new_pdf):
+            _insert(bits, new_pdf["url_hash"].to_numpy(np.int64), nbits, k)
+        return pd.DataFrame(
+            {
+                "part": [key[0]],
+                "cycle_id": [cycle_id],
+                "nbits": [nbits],
+                "k": [k],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    touched = new_hashes.select("part").distinct()
+    folded = (
+        new_hashes.groupBy("part")
+        .cogroup(bloom.join(touched, "part", "left_semi").groupBy("part"))
+        .applyInPandas(fold, schema=BLOOM_SEEN)
+    )
+    untouched = bloom.join(touched, "part", "left_anti")
+    return folded.unionByName(untouched)
+
+
+def bloom_prefilter(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Adds boolean `maybe_seen`: False ⇒ provably never inserted
+    (skips the exact anti-join); True ⇒ must be checked exactly.
+    `candidates` must carry `part` and `url_hash`."""
+    cand_cols = candidates.schema.fieldNames()
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+
+    def probe(key: tuple, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(columns=[*cand_cols, "maybe_seen"])
+        if len(bloom_pdf) == 0:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        else:
+            bits = np.frombuffer(bloom_pdf["bits"].iloc[0], dtype=np.uint8)
+            nbits = int(bloom_pdf["nbits"].iloc[0])
+            k = int(bloom_pdf["k"].iloc[0])
+            maybe = _contains(bits, cand_pdf["url_hash"].to_numpy(np.int64), nbits, k)
+        return cand_pdf.assign(maybe_seen=maybe)
+
+    return (
+        candidates.groupBy("part")
+        .cogroup(bloom.groupBy("part"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
+def seen_filter(candidates: DataFrame, url_seen: DataFrame, bloom: DataFrame) -> DataFrame:
+    """C4: return only never-seen candidates. Exactness: the Bloom can
+    only send extra rows *to* the anti-join, never around it."""
+    probed = bloom_prefilter(candidates, bloom)
+    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    checked = maybe.join(
+        url_seen.select("url_hash", "url_norm"), ["url_hash", "url_norm"], "left_anti"
+    )
+    return definitely_new.unionByName(checked)

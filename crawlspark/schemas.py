@@ -1,0 +1,145 @@
+"""Fixed StructType schemas for every engine table (SURVEY.md §1.2).
+
+The reference keeps these shapes implicit in dict payloads pushed
+through beanstalkd tubes; here every table has a pinned columnar
+schema so Parquet pushdown / pruning and the snapshot catalog can rely
+on them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+SPAN = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), False),
+    ]
+)
+
+# input_hint shape: (doc_id:string, spans:array<struct<kind,text,media_ref,offset>>)
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("fetch_cycle", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN), False),
+    ]
+)
+
+# Append-only discovery log: a URL enters the frontier exactly once.
+FRONTIER = T.StructType(
+    [
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("host_salt", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("site_priority", T.IntegerType(), False),
+        T.StructField("score", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("discovered_from", T.StringType(), True),
+        T.StructField("cycle_id", T.LongType(), False),
+    ]
+)
+
+# Append-only schedule log; QUEUED = frontier ANTI-JOIN scheduled.
+SCHEDULED = T.StructType(
+    [
+        T.StructField("cycle_id", T.LongType(), False),
+        T.StructField("batch_pos", T.LongType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("host_salt", T.IntegerType(), False),
+        T.StructField("score", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+    ]
+)
+
+URL_SEEN = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("first_cycle", T.LongType(), False),
+        T.StructField("part", T.IntegerType(), False),
+    ]
+)
+
+BLOOM_SEEN = T.StructType(
+    [
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("cycle_id", T.LongType(), False),
+        T.StructField("nbits", T.LongType(), False),
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+    ]
+)
+
+ROBOTS_RULE = T.StructType(
+    [
+        T.StructField("allow", T.BooleanType(), False),
+        T.StructField("prefix", T.StringType(), False),
+    ]
+)
+
+# Static per-host config (robots, budgets, priority) — written once.
+HOST_CONFIG = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("robots_rules", T.ArrayType(ROBOTS_RULE), False),
+        T.StructField("crawl_delay_ms", T.LongType(), False),
+        T.StructField("token_capacity", T.DoubleType(), False),
+        T.StructField("refill_per_cycle", T.DoubleType(), False),
+        T.StructField("site_priority", T.IntegerType(), False),
+    ]
+)
+
+# Dynamic per-host politeness state — overwritten each cycle (small).
+HOST_STATE = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("tokens", T.DoubleType(), False),
+        T.StructField("last_cycle", T.LongType(), False),
+    ]
+)
+
+FETCH_LOG = T.StructType(
+    [
+        T.StructField("cycle_id", T.LongType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("fetched_at", T.TimestampType(), False),
+        T.StructField("bytes", T.LongType(), False),
+    ]
+)
+
+# Per-cycle, per-partition lineage + counters. part = host_salt for
+# distribution metrics; part = -1 carries cycle-level wall-clock.
+METRICS = T.StructType(
+    [
+        T.StructField("cycle_id", T.LongType(), False),
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("urls_in", T.LongType(), False),
+        T.StructField("urls_deduped", T.LongType(), False),
+        T.StructField("urls_scheduled", T.LongType(), False),
+        T.StructField("docs_written", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+    ]
+)
+
+TABLE_SCHEMAS = {
+    "documents": DOCUMENTS,
+    "frontier": FRONTIER,
+    "scheduled": SCHEDULED,
+    "url_seen": URL_SEEN,
+    "bloom_seen": BLOOM_SEEN,
+    "host_config": HOST_CONFIG,
+    "host_state": HOST_STATE,
+    "fetch_log": FETCH_LOG,
+    "metrics": METRICS,
+}

@@ -1,0 +1,193 @@
+"""Deterministic synthetic multi-site web graph (FIXTURES.md §2).
+
+Pure functions only — every page, link, span, and per-host budget is a
+function of (GraphConfig, site, page) through a keyed blake2b hash, so
+the Spark engine's mapInPandas fetcher and the pure-Python refsim
+oracle regenerate byte-identical content with no shared engine code
+and no materialized graph table.
+
+Shape highlights:
+  - pages-per-site is Zipf-ish: site 0 is a mega-host (exercises the
+    host-salt skew path, C11), the tail sites are tiny.
+  - outlinks are emitted as *messy* URL variants (uppercase host,
+    default port, dot-segments, fragments, tracking params) whose
+    canonical form is exactly `page_url(...)` — exercising C1.
+  - some hosts publish robots rules disallowing the `/private`
+    prefix; some pages live under `/private` (exercising C6).
+  - page spans interleave kind='text' and kind='media' with strictly
+    increasing offsets (the input_hint span invariant); all hrefs sit
+    in the first text span, so document link order == link index order
+    while the engine still derives order via (span_pos, link_pos).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+
+def h64(*parts) -> int:
+    key = "\x1f".join(str(p) for p in parts).encode()
+    return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big")
+
+
+@dataclass(frozen=True)
+class GraphConfig:
+    seed: int = 42
+    n_sites: int = 5
+    max_pages: int = 40
+    zipf_s: float = 1.2
+    out_degree: int = 4
+    cross_site_prob: float = 0.25
+    media_prob: float = 0.35
+    batch_size: int = 32
+    max_cycles: int = 8
+
+    # -- topology ----------------------------------------------------------
+
+    def pages_in_site(self, i: int) -> int:
+        return max(2, int(self.max_pages / (i + 1) ** self.zipf_s))
+
+    def host(self, i: int) -> str:
+        return f"site{i:04d}.example.com"
+
+    def site_of_host(self, host: str) -> int:
+        return int(host[4:8])
+
+    # -- per-host config ---------------------------------------------------
+
+    def site_priority(self, i: int) -> int:
+        return h64(self.seed, "prio", i) % 5
+
+    def token_capacity(self, i: int) -> float:
+        return float(2 + h64(self.seed, "cap", i) % 7)
+
+    def refill_per_cycle(self, i: int) -> float:
+        return float(1 + h64(self.seed, "refill", i) % 4)
+
+    def crawl_delay_ms(self, i: int) -> int:
+        return 100 * (1 + h64(self.seed, "delay", i) % 20)
+
+    def has_robots(self, i: int) -> bool:
+        return h64(self.seed, "robots", i) % 3 == 0
+
+    def robots_rules(self, i: int) -> list[dict]:
+        if self.has_robots(i):
+            return [
+                {"allow": False, "prefix": "/private"},
+                {"allow": True, "prefix": "/"},
+            ]
+        return [{"allow": True, "prefix": "/"}]
+
+    # -- pages ---------------------------------------------------------------
+
+    def page_is_private(self, i: int, j: int) -> bool:
+        return j > 0 and h64(self.seed, "priv", i, j) % 5 == 0
+
+    def page_path(self, i: int, j: int) -> str:
+        return (f"/private/p{j}" if self.page_is_private(i, j) else f"/p{j}")
+
+    def page_url(self, i: int, j: int) -> str:
+        return f"http://{self.host(i)}{self.page_path(i, j)}"
+
+    def url_to_page(self, url_norm: str) -> tuple[int, int]:
+        """Inverse of page_url over canonical URLs (the fetcher's router)."""
+        m = re.match(r"http://site(\d{4})\.example\.com(?:/private)?/p(\d+)$", url_norm)
+        if not m:
+            raise ValueError(f"not a synthetic page url: {url_norm}")
+        return int(m.group(1)), int(m.group(2))
+
+    def outlink_targets(self, i: int, j: int) -> list[str]:
+        """Canonical URLs this page links to (deterministic)."""
+        out = []
+        for k in range(self.out_degree):
+            hv = h64(self.seed, "link", i, j, k)
+            if (hv % 1000) / 1000.0 < self.cross_site_prob:
+                ti = h64(self.seed, "xsite", i, j, k) % self.n_sites
+            else:
+                ti = i
+            tj = h64(self.seed, "tpage", i, j, k) % self.pages_in_site(ti)
+            out.append(self.page_url(ti, tj))
+        return out
+
+    def messy_url(self, canonical: str, i: int, j: int, k: int) -> str:
+        """A deterministic non-canonical variant; canonicalize() restores it."""
+        v = h64(self.seed, "messy", i, j, k) % 5
+        scheme, rest = canonical.split("://", 1)
+        host, _, path = rest.partition("/")
+        path = "/" + path
+        if v == 0:
+            return canonical
+        if v == 1:
+            return f"{scheme}://{host.upper()}{path}#frag-{k}"
+        if v == 2:
+            return f"{scheme}://{host}:80{path}?utm_source=synth&utm_campaign=c{k}"
+        if v == 3:
+            return f"{scheme}://{host}/foo/..{path}"
+        return f"{scheme}://{host}{path}?fbclid=xyz{k}&utm_medium=m{k}"
+
+    def outlinks_messy(self, i: int, j: int) -> list[str]:
+        return [
+            self.messy_url(u, i, j, k)
+            for k, u in enumerate(self.outlink_targets(i, j))
+        ]
+
+    # -- spans (the interleaved text+media payload) -------------------------
+
+    def page_spans(self, i: int, j: int) -> list[dict]:
+        links = self.outlinks_messy(i, j)
+        hrefs = " ".join(f'href="{u}"' for u in links)
+        body = f"site {i} page {j} :: {hrefs} :: " + " ".join(
+            f"w{h64(self.seed, 'word', i, j, w) % 997}" for w in range(6)
+        )
+        spans = [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
+        offset = len(body) + 1
+        n_extra = h64(self.seed, "nspan", i, j) % 4
+        for s in range(n_extra):
+            if (h64(self.seed, "kind", i, j, s) % 1000) / 1000.0 < self.media_prob:
+                ref = f"media://{self.host(i)}/asset-{h64(self.seed, 'asset', i, j, s) % 10000:04d}.bin"
+                spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": offset})
+                offset += 64
+            else:
+                txt = f"para {s} of {i}/{j}: " + " ".join(
+                    f"t{h64(self.seed, 'tw', i, j, s, w) % 509}" for w in range(5)
+                )
+                spans.append({"kind": "text", "text": txt, "media_ref": "", "offset": offset})
+                offset += len(txt) + 1
+        return spans
+
+    # -- seed list -----------------------------------------------------------
+
+    def seeds(self) -> list[str]:
+        """Messy seed URLs, one per site (page 0), in site order."""
+        return [self.messy_url(self.page_url(i, 0), i, 0, 999) for i in range(self.n_sites)]
+
+    def total_pages(self) -> int:
+        return sum(self.pages_in_site(i) for i in range(self.n_sites))
+
+
+_HREF = re.compile(r'href="([^"]+)"')
+
+
+def extract_links_from_text(text: str) -> list[str]:
+    """Shared link-extraction definition (engine uses the same regex
+    via F.regexp_extract_all; refsim calls this)."""
+    return _HREF.findall(text)
+
+
+def robots_allowed(path: str, rules: list[dict]) -> bool:
+    """Longest-prefix-match robots decision (pure; engine re-expresses
+    this with JVM higher-order array functions — see politeness.py)."""
+    best_len, best_allow = -1, True
+    for r in rules:
+        if path.startswith(r["prefix"]) and len(r["prefix"]) > best_len:
+            best_len, best_allow = len(r["prefix"]), r["allow"]
+    return best_allow
+
+
+# canonical preset tiers (FIXTURES.md §2.4)
+UNIT = GraphConfig(n_sites=5, max_pages=40, batch_size=16, max_cycles=6)
+T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
+BENCH = GraphConfig(n_sites=500, max_pages=50000, out_degree=8,
+                    batch_size=20000, max_cycles=6)

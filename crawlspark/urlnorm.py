@@ -1,0 +1,101 @@
+"""URL canonicalization (operator C1) — RFC-3986 normalize.
+
+The reference normalizes URLs with ad-hoc string munging before
+enqueueing (SURVEY.md §2.1 C1; mandated by BASELINE.json:north_star
+"canonicalizes and hashes discovered URLs (RFC-3986 normalize)").
+
+`canonicalize_one` is the pure-Python definition (idempotent —
+property-tested); `canonicalize_udf` wraps it as a vectorized
+pandas/Arrow UDF so the plan never runs row-at-a-time Python
+(input_hint policy). Host/path extraction stays JVM-side via
+`F.parse_url` on the already-canonical URL.
+
+Normalization steps:
+  - scheme + host lowercased; only http/https pass
+  - default port stripped (:80 / :443)
+  - fragment removed
+  - dot-segments resolved (RFC 3986 §5.2.4); empty path → "/"
+  - percent-encoding: unreserved octets decoded, other escapes upper-cased
+  - tracking query params dropped (utm_*, fbclid, gclid, msclkid);
+    remaining params sorted by (key, value) for a canonical order
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TRACKING = re.compile(r"^(utm_.*|fbclid|gclid|msclkid)$")
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+_PCT = re.compile(r"%([0-9A-Fa-f]{2})")
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _pct_normalize(s: str) -> str:
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+        else:
+            out.append(seg)
+    p = "/".join(out)
+    if not p.startswith("/"):
+        p = "/" + p
+    return p
+
+
+def canonicalize_one(url: str | None) -> str | None:
+    """Pure canonicalizer; returns None for non-crawlable URLs."""
+    if url is None:
+        return None
+    try:
+        s = urlsplit(url.strip())
+        scheme = s.scheme.lower()
+        if scheme not in _DEFAULT_PORTS:
+            return None
+        host = s.hostname
+        if not host:
+            return None
+        host = host.lower().rstrip(".")
+        port = s.port  # may raise ValueError on junk ports
+        netloc = host if port is None or port == _DEFAULT_PORTS[scheme] else f"{host}:{port}"
+        path = _pct_normalize(_remove_dot_segments(s.path or "/"))
+        q = sorted(
+            (k, v)
+            for k, v in parse_qsl(s.query, keep_blank_values=True)
+            if not _TRACKING.match(k)
+        )
+        return urlunsplit((scheme, netloc, path, urlencode(q), ""))
+    except ValueError:
+        return None
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_one)
+
+
+def with_url_parts(df, url_col: str = "url_norm"):
+    """Attach host/path (JVM-side parse_url) + xxhash64 (C2/C3)."""
+    return (
+        df.withColumn("host", F.parse_url(F.col(url_col), F.lit("HOST")))
+        .withColumn("path", F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")))
+        .withColumn("url_hash", F.xxhash64(F.col(url_col)))
+    )

@@ -1,0 +1,73 @@
+"""The three reference-semantics gates (BASELINE.json north_star):
+identical crawl ordering, identical final URL-seen set, and
+per-document span-sequence equality — Spark engine vs refsim, same
+seed list + politeness budget.
+"""
+
+import pytest
+
+from crawlspark.engine import CrawlEngine, EngineConfig
+from crawlspark.synth import UNIT
+
+from .refsim import RefSim
+
+
+@pytest.fixture(scope="module")
+def run_pair(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("wh-equiv")
+    eng = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=str(wh)))
+    eng.run()
+    ref_order, ref_seen, ref_docs = RefSim(UNIT).run()
+    return eng, ref_order, ref_seen, ref_docs
+
+
+def test_crawl_ordering_identical(run_pair):
+    eng, ref_order, _, _ = run_pair
+    got = [
+        (r["cycle_id"], r["batch_pos"], r["url_norm"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert len(got) > 0
+    assert got == ref_order
+
+
+def test_url_seen_set_identical(run_pair):
+    eng, _, ref_seen, _ = run_pair
+    got = {r["url_norm"]: r["first_cycle"] for r in eng.seen_set().collect()}
+    assert got == ref_seen
+
+
+def test_span_sequence_equality(run_pair):
+    """input_hint invariant: per-document (kind, text, media_ref, order)."""
+    eng, _, _, ref_docs = run_pair
+    rows = eng.documents().collect()
+    got = {
+        r["doc_id"]: (
+            r["fetch_cycle"],
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]],
+        )
+        for r in rows
+    }
+    want = {
+        u: (c, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
+        for u, (c, spans) in ref_docs.items()
+    }
+    assert got == want
+
+
+def test_deterministic_across_parallelism(spark, tmp_path_factory, run_pair):
+    """C18 gate: identical outputs when shuffle parallelism changes."""
+    eng, ref_order, _, _ = run_pair
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    try:
+        wh = tmp_path_factory.mktemp("wh-par13")
+        eng2 = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=str(wh)))
+        eng2.run()
+        got = [
+            (r["cycle_id"], r["batch_pos"], r["url_norm"])
+            for r in eng2.crawl_order().collect()
+        ]
+        assert got == ref_order
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
