@@ -1,0 +1,221 @@
+"""Document deduplication operators for the training-data pipeline:
+exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+
+The reference crawler dedups only URLs (exact KV set — SURVEY.md §2.1
+C4); a 100 TB corpus also needs *content* dedup. All operators here
+are pure DataFrame compositions (JVM whole-stage codegen; the only
+hash is the portable md5-60 mixer so the driver's DuckDB oracle can
+replay them bit-identically — crawlspark/portable.py).
+
+Scale design (10^9-document corpus):
+- shingling/minhashing are narrow per-row transforms (no shuffle);
+- the LSH band join shuffles on (band, band_hash) — bucket sizes are
+  bounded by band width, and banding is exactly what keeps candidate
+  pairs ≪ n²;
+- exact Jaccard verification joins shingles ONLY for candidate pairs
+  (never all-pairs);
+- SimHash uses pigeonhole banding: hamming ≤ max_ham over nbits with
+  bands > max_ham guarantees a shared exact band, so the banded join
+  finds exactly the brute-force pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..portable import md5hash60, shingles, words
+
+
+# -- exact dedup -----------------------------------------------------------
+
+def exact_dedup(df: DataFrame, key, id_col: str) -> DataFrame:
+    """Exact dedup on a normalized key: adds ``dup_key`` (md5-60 of the
+    key) and ``keep`` (deterministic keeper = min id per group; window
+    row_number, never dropDuplicates — SURVEY.md R23)."""
+    w = Window.partitionBy("dup_key").orderBy(id_col)
+    return (
+        df.withColumn("dup_key", md5hash60(key))
+        .withColumn("keep", F.row_number().over(w) == 1)
+    )
+
+
+# -- MinHash + LSH ---------------------------------------------------------
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) distinct — k-word shingles in document order."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(words(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """(id, j, minh): minh_j = min over shingles of md5-60(j || '#' || shingle).
+
+    The explode-by-j then partial-aggregate shape map-side combines
+    before the shuffle, so the shuffle carries n_docs × n_hashes rows,
+    not n_shingles × n_hashes."""
+    js = F.array(*[F.lit(j) for j in range(n_hashes)])
+    return (
+        sh.withColumn("j", F.explode(js))
+        .withColumn("h", md5hash60(F.concat_ws("#", F.col("j"), F.col("shingle"))))
+        .groupBy("id", "j")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(i, j) candidate pairs sharing ≥1 LSH band (i < j).
+
+    band_hash = md5-60 of the band's concatenated minhashes; the
+    self-join shuffles on (band, band_hash) only."""
+    rows = n_hashes // bands
+    bandkey = (
+        sig.withColumn("band", (F.col("j") / rows).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("j", "minh"))).alias("ms"))
+        .withColumn(
+            "band_hash",
+            md5hash60(F.concat_ws("#", F.transform("ms", lambda s: s["minh"].cast("string")))),
+        )
+        .select("id", "band", "band_hash")
+    )
+    other = bandkey.select(
+        F.col("id").alias("id2"), F.col("band").alias("band2"), F.col("band_hash").alias("bh2")
+    )
+    return (
+        bandkey.join(
+            other,
+            (F.col("band") == F.col("band2"))
+            & (F.col("band_hash") == F.col("bh2"))
+            & (F.col("id") < F.col("id2")),
+        )
+        .select(F.col("id").alias("i"), F.col("id2").alias("j"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs only → (i, j, jac ≥ threshold).
+
+    Join shape: pairs ⋈ shingles(i) ⋈ shingles(j) on shingle equality —
+    cost ∝ candidates × shingles-per-doc, never all-pairs."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    shi = sh.select(F.col("id").alias("i"), "shingle")
+    shj = sh.select(F.col("id").alias("j2"), F.col("shingle").alias("shingle_j"))
+    inter = (
+        pairs.join(shi, "i")
+        .join(shj, (F.col("j") == F.col("j2")) & (F.col("shingle") == F.col("shingle_j")))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("i"), F.col("n").alias("ni")), "i")
+        .join(sizes.select(F.col("id").alias("j"), F.col("n").alias("nj")), "j")
+        .withColumn("jac", F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter")))
+        .filter(F.col("jac") >= threshold)
+        .select("i", "j", F.round("jac", 6).alias("jac"))
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 2, n_hashes: int = 8, bands: int = 4, threshold: float = 0.5,
+) -> DataFrame:
+    """Full pipeline: shingle → minhash → band → candidate join → exact
+    Jaccard verify. Output is deterministic (same LSH candidates and
+    the exact-verified subset) across engines and partitionings."""
+    sh = shingle_table(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, n_hashes)
+    cand = lsh_candidate_pairs(sig, n_hashes, bands)
+    return jaccard_verify(cand, sh, threshold)
+
+
+# -- SimHash ---------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, nbits: int = 48, token_k: int = 2
+) -> DataFrame:
+    """(id, fp): token-frequency-weighted SimHash fingerprint over
+    k-word shingle tokens (token_k=2 ⇒ bigrams — far more
+    discriminative than unigrams on small vocabularies).
+
+    bit b of fp = sign of Σ_tokens cnt(tok) · (±1 from bit b of
+    md5-60(tok)); ties (sum == 0) resolve to 0. Narrow explode by bit
+    then two partial-aggregated groupBys."""
+    if token_k == 1:
+        tok_src = df.select(
+            F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok")
+        )
+    else:
+        tok_src = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(words(text_col), token_k)).alias("tok"),
+        )
+    toks = (
+        tok_src.groupBy("id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", md5hash60("tok"))
+    )
+    bits = F.array(*[F.lit(b) for b in range(nbits)])
+    contrib = (
+        toks.withColumn("b", F.explode(bits))
+        .withColumn("c", F.expr("cnt * ((shiftright(h, b) & 1) * 2 - 1)"))
+        .groupBy("id", "b")
+        .agg(F.sum("c").alias("s"))
+    )
+    return (
+        contrib.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("fp"))
+    )
+
+
+def simhash_near_dups(fps: DataFrame, nbits: int = 48, bands: int = 8, max_ham: int = 7) -> DataFrame:
+    """(i, j, ham): pairs with hamming(fp_i, fp_j) ≤ max_ham.
+
+    Pigeonhole: bands > max_ham ⇒ any qualifying pair agrees exactly on
+    ≥1 band, so the banded self-join + exact hamming filter returns the
+    complete brute-force pair set while shuffling only on (band, band
+    value)."""
+    assert bands > max_ham, "pigeonhole requires bands > max_ham"
+    width = nbits // bands
+    mask = (1 << width) - 1
+    bandvals = fps.withColumn(
+        "band", F.explode(F.array(*[F.lit(b) for b in range(bands)]))
+    ).withColumn("bv", F.expr(f"shiftright(fp, band * {width}) & {mask}"))
+    other = bandvals.select(
+        F.col("id").alias("id2"), F.col("fp").alias("fp2"),
+        F.col("band").alias("band2"), F.col("bv").alias("bv2"),
+    )
+    return (
+        bandvals.join(
+            other,
+            (F.col("band") == F.col("band2"))
+            & (F.col("bv") == F.col("bv2"))
+            & (F.col("id") < F.col("id2")),
+        )
+        .select(
+            F.col("id").alias("i"), F.col("id2").alias("j"),
+            F.bit_count(F.col("fp").bitwiseXOR(F.col("fp2"))).alias("ham"),
+        )
+        .distinct()
+        .filter(F.col("ham") <= max_ham)
+    )
+
+
+# -- character n-gram Jaccard ---------------------------------------------
+
+def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, gram) distinct character n-grams (sliding window)."""
+    c = F.trim(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    grams = F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle")).distinct()

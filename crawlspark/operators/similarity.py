@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k (the exactness baseline) and a
+random-hyperplane-LSH bucketed ANN (the scale path).
+
+All math is JVM higher-order array functions (zip_with / aggregate):
+products and sums accumulate left-to-right in double, which DuckDB's
+list_zip + list_sum replays bit-identically — so the driver's oracle
+can hash-compare even floating-point cosines.
+
+Scale design: brute force is O(|Q|·|N|·d) — fine for |Q| small
+(broadcast the queries), wrong for all-pairs. The LSH path buckets
+vectors by the sign pattern of P seeded hyperplane projections; the
+join shuffles on bucket id only, and candidate count per query is
+|N| / 2^P in expectation. Recall is tunable via P and multi-probe
+(not implemented; documented TODO).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..portable import md5hash60
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_topk(
+    queries: DataFrame, corpus: DataFrame, k: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (q_id, n_id, rnk, cos).
+
+    queries is broadcast (small set); ranking tie-breaks on n_id so the
+    result is deterministic."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    n = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", F.round("cos", 6).alias("cos"))
+    )
+
+
+def hyperplane_coefs(spark: SparkSession, n_planes: int, dim: int, seed: int = 7) -> DataFrame:
+    """(p, d, coef): deterministic pseudo-random hyperplanes in
+    [-1, 1], derived from the portable md5-60 hash so DuckDB can
+    regenerate them exactly: coef = (h(seed_p_d) % 2001 - 1000)/1000."""
+    grid = spark.range(n_planes).select(F.col("id").alias("p")).crossJoin(
+        spark.range(dim).select(F.col("id").alias("d"))
+    )
+    h = md5hash60(F.concat_ws("_", F.lit(seed), F.col("p"), F.col("d")))
+    return grid.withColumn("coef", ((h % 2001) - 1000) / F.lit(1000.0))
+
+
+def lsh_buckets(
+    emb: DataFrame, planes: DataFrame, n_planes: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): bucket = sign-bit pattern of the P projections.
+
+    posexplode + broadcast plane join + two partial-aggregated
+    groupBys; everything stays in whole-stage codegen."""
+    comp = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    )
+    proj = (
+        comp.join(F.broadcast(planes), "d")
+        .withColumn("prod", F.col("x").cast("double") * F.col("coef"))
+        .groupBy("id", "p")
+        .agg(F.sum("prod").alias("proj"))
+    )
+    return proj.withColumn(
+        "bit",
+        F.when(F.col("proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
+        .otherwise(F.lit(0).cast("long")),
+    ).groupBy("id").agg(F.sum("bit").alias("bucket"))
+
+
+def ann_topk(
+    queries: DataFrame, corpus: DataFrame, spark: SparkSession,
+    k: int, n_planes: int = 6, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine re-rank. Queries with an empty bucket return fewer
+    than k rows (multi-probe is the recall lever — TODO)."""
+    planes = hyperplane_coefs(spark, n_planes, dim, seed)
+    allv = queries.unionByName(corpus).dropDuplicates([id_col])
+    buckets = lsh_buckets(allv, planes, n_planes, id_col, vec_col)
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .join(buckets.withColumnRenamed("id", "q_id"), "q_id")
+    )
+    n = (
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+        .join(buckets.withColumnRenamed("id", "n_id"), "n_id")
+    )
+    cand = q.join(n, "bucket").filter(F.col("q_id") != F.col("n_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,82 @@
+"""Crawl-engine queries — the core frontier/scheduler semantics,
+exposed to the driver as rows-only checks (the crawl tables are not in
+the DuckDB view set; their semantics are oracle-checked against the
+pure-Python refsim in tests/test_refsim_equivalence.py instead:
+identical crawl ordering, URL-seen set, and span sequences).
+
+One UNIT-config crawl runs per process (memoized) in a tmp warehouse;
+all four queries read its committed snapshot tables.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..engine import CrawlEngine, EngineConfig
+from ..portable import md5hash60
+from ..synth import UNIT
+
+_ENGINE_CACHE: dict[str, CrawlEngine] = {}
+
+
+def _engine(spark) -> CrawlEngine:
+    key = "unit"
+    if key not in _ENGINE_CACHE:
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q80_crawl_order(spark, sf):
+    """The crawl-ordering contract: scheduled URLs in execution order."""
+    return _engine(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score", "seq", "depth"
+    )
+
+
+def q81_crawl_seen(spark, sf):
+    """Final URL-seen set (exact table; Bloom sidecar is a prefilter)."""
+    return _engine(spark).seen_set().select("url_norm", "first_cycle")
+
+
+def q82_crawl_docs(spark, sf):
+    """Fetched documents with a span-sequence signature — the
+    input_hint per-row invariant (kind, text, media_ref, order) as one
+    hashable column."""
+    docs = _engine(spark).documents()
+    return docs.select(
+        "doc_id",
+        "fetch_cycle",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
+        md5hash60(F.to_json("spans")).alias("span_sig"),
+    )
+
+
+def q83_crawl_metrics(spark, sf):
+    """Per-cycle lineage rollup from the per-partition metrics table."""
+    m = _engine(spark).cat.read("metrics")
+    return (
+        m.filter(F.col("part") >= 0)
+        .groupBy("cycle_id")
+        .agg(
+            F.sum("urls_in").alias("urls_in"),
+            F.sum("urls_deduped").alias("urls_deduped"),
+            F.sum("urls_scheduled").alias("urls_scheduled"),
+            F.sum("docs_written").alias("docs_written"),
+        )
+    )
+
+
+QUERIES = {
+    "q80_crawl_order": q80_crawl_order,
+    "q81_crawl_seen": q81_crawl_seen,
+    "q82_crawl_docs": q82_crawl_docs,
+    "q83_crawl_metrics": q83_crawl_metrics,
+}
+
+ORACLE: dict[str, str] = {}

@@ -1,0 +1,186 @@
+"""Deduplication queries (training-data pipeline ops over `documents`):
+exact-key dedup, MinHash signatures, MinHash+LSH near-dup pairs,
+SimHash fingerprints + hamming pairs, char-n-gram Jaccard — each
+backed by crawlspark.operators.dedup and an exact DuckDB twin that
+replays the same md5-60 hashing (crawlspark/portable.py), so even the
+LSH candidate sets match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..portable import md5hash60_sql
+from .relational import T
+
+_H = md5hash60_sql
+
+# shared SQL CTEs ----------------------------------------------------------
+
+# (id, shingle) distinct word-bigram shingles, '_'-joined
+SH_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id AS id, (w[i] || '_' || w[i+1]) AS shingle
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - 1)) AS u(i))
+"""
+
+# (id, j, minh) minhash signatures, H=8
+SIG_CTE = f"""
+sig AS (
+  SELECT id, j, min({_H("CAST(j AS VARCHAR) || '#' || shingle")}) AS minh
+  FROM sh, UNNEST(generate_series(0, 7)) AS t(j)
+  GROUP BY id, j)
+"""
+
+# (id, fp) 48-bit simhash over bigram-shingle token counts
+SIMHASH_CTE = f"""
+toks AS (
+  SELECT id, tok, count(*) AS cnt
+  FROM (
+    SELECT doc_id AS id, (w[i] || '_' || w[i+1]) AS tok
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         UNNEST(generate_series(1, len(w) - 1)) AS u(i))
+  GROUP BY 1, 2),
+contrib AS (
+  SELECT id, b, sum(cnt * ((({_H("tok")} >> b) & 1) * 2 - 1)) AS s
+  FROM toks, UNNEST(generate_series(0, 47)) AS t(b)
+  GROUP BY id, b),
+fps AS (
+  SELECT id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS fp
+  FROM contrib GROUP BY id)
+"""
+
+
+# --- exact dedup on a normalized key -------------------------------------
+
+def q50_exact_dedup(spark, sf):
+    d = T(spark, sf, "documents")
+    return dedup.exact_dedup(d, F.substring(F.col("text"), 1, 40), "doc_id").select(
+        "doc_id", "dup_key", "keep"
+    )
+
+
+SQL50 = f"""
+SELECT doc_id, dup_key,
+       (row_number() OVER (PARTITION BY dup_key ORDER BY doc_id) = 1) AS keep
+FROM (SELECT doc_id, {_H("substr(text, 1, 40)")} AS dup_key FROM documents)
+"""
+
+
+# --- MinHash signatures ---------------------------------------------------
+
+def q51_minhash_sig(spark, sf):
+    sh = dedup.shingle_table(T(spark, sf, "documents"), "doc_id", "text", k=2)
+    return dedup.minhash_signatures(sh, n_hashes=8)
+
+
+SQL51 = f"""
+WITH {SH_CTE}, {SIG_CTE}
+SELECT id, j, minh FROM sig
+"""
+
+
+# --- MinHash + LSH near-dup pairs ----------------------------------------
+
+def q52_near_dup_pairs(spark, sf):
+    return dedup.minhash_near_dups(
+        T(spark, sf, "documents"), "doc_id", "text",
+        k=2, n_hashes=8, bands=4, threshold=0.5,
+    )
+
+
+SQL52 = f"""
+WITH {SH_CTE}, {SIG_CTE},
+bands AS (
+  SELECT id, j // 2 AS band,
+         string_agg(CAST(minh AS VARCHAR), '#' ORDER BY j) AS bs
+  FROM sig GROUP BY 1, 2),
+bh AS (SELECT id, band, {_H("bs")} AS band_hash FROM bands),
+cand AS (
+  SELECT DISTINCT a.id AS i, b2.id AS j
+  FROM bh a JOIN bh b2
+    ON a.band = b2.band AND a.band_hash = b2.band_hash AND a.id < b2.id),
+inter AS (
+  SELECT c.i, c.j, count(*) AS n_inter
+  FROM cand c JOIN sh a ON a.id = c.i
+              JOIN sh b ON b.id = c.j AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1)
+SELECT i, j, round(n_inter / (si.n + sj.n - n_inter), 6) AS jac
+FROM inter JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+WHERE n_inter / (si.n + sj.n - n_inter) >= 0.5
+"""
+
+
+# --- SimHash fingerprints + hamming pairs --------------------------------
+
+def q53_simhash(spark, sf):
+    return dedup.simhash(T(spark, sf, "documents"), "doc_id", "text", nbits=48, token_k=2)
+
+
+SQL53 = f"""
+WITH {SIMHASH_CTE}
+SELECT id, fp FROM fps
+"""
+
+
+def q54_simhash_pairs(spark, sf):
+    fps = dedup.simhash(T(spark, sf, "documents"), "doc_id", "text", nbits=48, token_k=2)
+    return dedup.simhash_near_dups(fps, nbits=48, bands=8, max_ham=7)
+
+
+SQL54 = f"""
+WITH {SIMHASH_CTE}
+SELECT a.id AS i, b.id AS j, bit_count(xor(a.fp, b.fp)) AS ham
+FROM fps a JOIN fps b ON a.id < b.id
+WHERE bit_count(xor(a.fp, b.fp)) <= 7
+"""
+
+
+# --- char-5-gram Jaccard (brute force on a subset) -----------------------
+
+def q55_chargram_pairs(spark, sf):
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    grams = dedup.char_ngrams(d, "doc_id", "text", n=5)
+    pairs = (
+        grams.select(F.col("id").alias("i"))
+        .distinct()
+        .join(grams.select(F.col("id").alias("j")).distinct(), F.col("i") < F.col("j"))
+    )
+    return dedup.jaccard_verify(pairs, grams, threshold=0.5)
+
+
+SQL55 = """
+WITH g AS (
+  SELECT DISTINCT doc_id AS id, substr(t, i, 5) AS gram
+  FROM (SELECT doc_id, trim(text) AS t FROM documents WHERE doc_id < 200),
+       UNNEST(generate_series(1, length(t) - 4)) AS u(i)),
+inter AS (
+  SELECT a.id AS i, b.id AS j, count(*) AS n_inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2),
+sz AS (SELECT id, count(*) AS n FROM g GROUP BY 1)
+SELECT i, j, round(n_inter / (si.n + sj.n - n_inter), 6) AS jac
+FROM inter JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+WHERE n_inter / (si.n + sj.n - n_inter) >= 0.5
+"""
+
+
+QUERIES = {
+    "q50_exact_dedup": q50_exact_dedup,
+    "q51_minhash_sig": q51_minhash_sig,
+    "q52_near_dup_pairs": q52_near_dup_pairs,
+    "q53_simhash": q53_simhash,
+    "q54_simhash_pairs": q54_simhash_pairs,
+    "q55_chargram_pairs": q55_chargram_pairs,
+}
+
+ORACLE = {
+    "q50_exact_dedup": SQL50,
+    "q51_minhash_sig": SQL51,
+    "q52_near_dup_pairs": SQL52,
+    "q53_simhash": SQL53,
+    "q54_simhash_pairs": SQL54,
+    "q55_chargram_pairs": SQL55,
+}

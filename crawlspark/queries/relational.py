@@ -1,0 +1,629 @@
+"""Relational operator surface (SURVEY.md §2.2 R1–R24, §2.3, §2.4
+batch proxies) as driver-checked query/oracle pairs over the testdata
+star schema. Each query is the smallest plan that exercises the
+operator the way the crawl cycle uses it (broadcast joins for dims,
+window dedup, anti-join seen-filter shape, …).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- R12 hash aggregate (TPC-H Q1 shape) ---------------------------------
+
+def q01_pricing_summary(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- R1/R4/R5 scan + filter pushdown + project/cast ----------------------
+
+def q02_filter_project(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & F.col("l_quantity").between(10, 20)
+            & (F.col("l_discount") < 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            "l_extendedprice",
+        )
+    )
+
+
+SQL02 = """
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int, l_extendedprice
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20 AND l_discount < 0.05
+"""
+
+
+# --- R6 broadcast join chain ---------------------------------------------
+
+def q03_revenue_by_nation(spark, sf):
+    c, n, o = (T(spark, sf, t) for t in ("customer", "nation", "orders"))
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL03 = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- R7 shuffle (sort-merge) join on the fact tables ---------------------
+
+def q04_order_priority(spark, sf):
+    li, o = T(spark, sf, "lineitem"), T(spark, sf, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+SQL04 = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --- R8 left anti join (the C4 seen-filter shape) ------------------------
+
+def q05_customers_without_orders(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+SQL05 = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- R9 left semi join ----------------------------------------------------
+
+def q06_parts_with_bulk_orders(spark, sf):
+    p, li = T(spark, sf, "part"), T(spark, sf, "lineitem")
+    bulk = li.filter(F.col("l_quantity") > 45)
+    return p.join(bulk, p["p_partkey"] == bulk["l_partkey"], "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+SQL06 = """
+SELECT p_partkey, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+"""
+
+
+# --- R10 range join (equi + residual range predicate) --------------------
+
+def q07_ship_latency(spark, sf):
+    li, o = T(spark, sf, "lineitem"), T(spark, sf, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).filter(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).between(0, 60)
+    )
+    return j.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.count("*").alias("n_shipped")
+    )
+
+
+SQL07 = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_shipped
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE datediff('day', o_orderdate, l_shipdate) BETWEEN 0 AND 60
+GROUP BY 1
+"""
+
+
+# --- R11 cross join (tiny dims only) -------------------------------------
+
+def q08_region_status_grid(spark, sf):
+    r = T(spark, sf, "region").select("r_name")
+    s = T(spark, sf, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+SQL08 = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+"""
+
+
+# --- R13 distinct / count-distinct ---------------------------------------
+
+def q09_distinct_users(spark, sf):
+    return (
+        T(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL09 = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# --- R14 rollup -----------------------------------------------------------
+
+def q10_rollup_orders(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+SQL10 = """
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- R14 cube -------------------------------------------------------------
+
+def q11_cube_events(spark, sf):
+    e = T(spark, sf, "events").withColumn("month", F.date_format("ts", "yyyy-MM"))
+    return (
+        e.cube("event_type", "month")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("month", F.lit("(all)")).alias("month"),
+            "n",
+        )
+    )
+
+
+SQL11 = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(m, '(all)') AS month, count(*) AS n
+FROM (SELECT event_type, strftime(ts, '%Y-%m') AS m FROM events)
+GROUP BY CUBE (event_type, m)
+"""
+
+
+# --- R15 window ranking (the C9 per-host top-k shape) --------------------
+
+def q12_top_orders_per_cust(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        T(spark, sf, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+SQL12 = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+# --- R16 analytic window (lag + running frame) ---------------------------
+
+def q13_running_total(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    return T(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.sum("o_totalprice").over(wf), 2).alias("running_total"),
+        F.row_number().over(w).alias("order_idx"),
+    )
+
+
+SQL13 = """
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       row_number() OVER w AS order_idx
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --- R17/R18 global sort + top-k ------------------------------------------
+
+def q14_topk_orders(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL14 = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+# --- R19 union ------------------------------------------------------------
+
+def q15_union_nations(spark, sf):
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+SQL15 = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
+# --- R20 except / intersect ----------------------------------------------
+
+def q16_except_negative(spark, sf):
+    o = T(spark, sf, "orders").select(F.col("o_custkey").alias("custkey")).distinct()
+    neg = (
+        T(spark, sf, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.exceptAll(neg.distinct()).distinct()
+
+
+SQL16 = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+def q27_intersect_nations(spark, sf):
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SQL27 = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+# --- R21 explode over array columns --------------------------------------
+
+def q17_vector_stats(spark, sf):
+    e = T(spark, sf, "embeddings").select("vec_id", F.explode("embedding").alias("v"))
+    return e.groupBy("vec_id").agg(
+        F.count("*").alias("dim"),
+        F.round(F.avg("v"), 4).alias("mean_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+
+SQL17 = """
+SELECT vec_id, count(*) AS dim, round(avg(v), 4) AS mean_v, round(max(v), 6) AS max_v
+FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id
+"""
+
+
+# --- R22 pivot ------------------------------------------------------------
+
+def q18_doc_pivot(spark, sf):
+    return (
+        T(spark, sf, "documents")
+        .groupBy("lang")
+        .pivot("source", ["src0", "src1", "src2", "src3", "src4"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "lang",
+            *[F.col(f"src{i}").cast("long").alias(f"src{i}_n") for i in range(5)],
+        )
+    )
+
+
+SQL18 = """
+SELECT lang,
+       count(*) FILTER (source = 'src0') AS src0_n,
+       count(*) FILTER (source = 'src1') AS src1_n,
+       count(*) FILTER (source = 'src2') AS src2_n,
+       count(*) FILTER (source = 'src3') AS src3_n,
+       count(*) FILTER (source = 'src4') AS src4_n
+FROM documents GROUP BY lang
+"""
+
+
+# --- R23 window dedup-keep-first (C15 shape) ------------------------------
+
+def q19_first_event(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        T(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"))
+    )
+
+
+SQL19 = """
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# --- §2.3 JSON functions --------------------------------------------------
+
+def q20_json_props(spark, sf):
+    e = T(spark, sf, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return e.groupBy("event_type").agg(
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL20 = """
+SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k, count(*) AS n
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+# --- S3 batch proxy: tumbling event-time windows -------------------------
+
+def q21_event_windows(spark, sf):
+    e = T(spark, sf, "events").withColumn(
+        "win_start", (F.floor(F.unix_timestamp("ts") / 21600) * 21600).cast("long")
+    )
+    return e.groupBy("win_start", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+SQL21 = """
+SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS win_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- S4 batch proxy: session windows (gap-based) -------------------------
+
+def q22_sessionize(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    e = (
+        T(spark, sf, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(F.col("prev_ts").cast("timestamp")) > 1800000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(wf))
+    )
+    per_sess = e.groupBy("user_id", "sess_id").agg(F.count("*").alias("len"))
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.max("len").alias("max_session_events")
+    )
+
+
+SQL22 = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM x),
+c AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s),
+p AS (SELECT user_id, sess_id, count(*) AS len FROM c GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, max(len) AS max_session_events
+FROM p GROUP BY user_id
+"""
+
+
+# --- §2.3 string functions ------------------------------------------------
+
+def q23_doc_strings(spark, sf):
+    d = T(spark, sf, "documents").withColumn(
+        "first_word", F.upper(F.element_at(F.split(F.trim("text"), " "), 1))
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.countDistinct("first_word").alias("n_first_words"),
+    )
+
+
+SQL23 = """
+SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars,
+       count(DISTINCT upper((string_split(trim(text), ' '))[1])) AS n_first_words
+FROM documents GROUP BY lang
+"""
+
+
+# --- §2.3 hash functions --------------------------------------------------
+
+def q24_hash_md5(spark, sf):
+    return (
+        T(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select("c_custkey", F.md5(F.col("c_name")).alias("name_md5"))
+    )
+
+
+SQL24 = """
+SELECT c_custkey, md5(c_name) AS name_md5 FROM customer WHERE c_custkey < 100
+"""
+
+
+# --- R10 as-of join (custom operator; DuckDB native ASOF) ----------------
+
+def q25_asof_orders(spark, sf):
+    e = T(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    o = T(spark, sf, "orders")
+    j = asof_join_backward(
+        e.select("event_id", "user_id", "ts"),
+        o.select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        tie_col="o_orderkey",
+    )
+    return j.select(
+        "event_id", "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"), "o_orderkey", "o_totalprice"
+    )
+
+
+SQL25 = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1)
+SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, r.o_orderkey, r.o_totalprice
+FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_revenue_by_nation": q03_revenue_by_nation,
+    "q04_order_priority": q04_order_priority,
+    "q05_customers_without_orders": q05_customers_without_orders,
+    "q06_parts_with_bulk_orders": q06_parts_with_bulk_orders,
+    "q07_ship_latency": q07_ship_latency,
+    "q08_region_status_grid": q08_region_status_grid,
+    "q09_distinct_users": q09_distinct_users,
+    "q10_rollup_orders": q10_rollup_orders,
+    "q11_cube_events": q11_cube_events,
+    "q12_top_orders_per_cust": q12_top_orders_per_cust,
+    "q13_running_total": q13_running_total,
+    "q14_topk_orders": q14_topk_orders,
+    "q15_union_nations": q15_union_nations,
+    "q16_except_negative": q16_except_negative,
+    "q17_vector_stats": q17_vector_stats,
+    "q18_doc_pivot": q18_doc_pivot,
+    "q19_first_event": q19_first_event,
+    "q20_json_props": q20_json_props,
+    "q21_event_windows": q21_event_windows,
+    "q22_sessionize": q22_sessionize,
+    "q23_doc_strings": q23_doc_strings,
+    "q24_hash_md5": q24_hash_md5,
+    "q25_asof_orders": q25_asof_orders,
+    "q27_intersect_nations": q27_intersect_nations,
+}
+
+ORACLE = {
+    "q01_pricing_summary": SQL01,
+    "q02_filter_project": SQL02,
+    "q03_revenue_by_nation": SQL03,
+    "q04_order_priority": SQL04,
+    "q05_customers_without_orders": SQL05,
+    "q06_parts_with_bulk_orders": SQL06,
+    "q07_ship_latency": SQL07,
+    "q08_region_status_grid": SQL08,
+    "q09_distinct_users": SQL09,
+    "q10_rollup_orders": SQL10,
+    "q11_cube_events": SQL11,
+    "q12_top_orders_per_cust": SQL12,
+    "q13_running_total": SQL13,
+    "q14_topk_orders": SQL14,
+    "q15_union_nations": SQL15,
+    "q16_except_negative": SQL16,
+    "q17_vector_stats": SQL17,
+    "q18_doc_pivot": SQL18,
+    "q19_first_event": SQL19,
+    "q20_json_props": SQL20,
+    "q21_event_windows": SQL21,
+    "q22_sessionize": SQL22,
+    "q23_doc_strings": SQL23,
+    "q24_hash_md5": SQL24,
+    "q25_asof_orders": SQL25,
+    "q27_intersect_nations": SQL27,
+}

@@ -1,0 +1,101 @@
+"""Similarity-search queries over `embeddings`: brute-force cosine
+top-k and hyperplane-LSH ANN — backed by
+crawlspark.operators.similarity.
+
+Float parity: Spark's F.aggregate folds left-to-right in double
+starting from 0.0; DuckDB's list_reduce folds left-to-right starting
+from the first element. (0.0 + x1) == x1 exactly, so both engines
+produce bit-identical dot products and cosines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..portable import md5hash60_sql
+from .relational import T
+
+_H = md5hash60_sql
+
+DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+def _dot(a: str, b: str) -> str:
+    return DOT.format(a=a, b=b)
+
+
+def q60_cosine_topk(spark, sf):
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    return similarity.brute_topk(q, corpus, k=3)
+
+
+SQL60 = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT q_id, n_id,
+         {_dot('qv', 'nv')} / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('nv', 'nv')})) AS c
+  FROM n CROSS JOIN q),
+r AS (
+  SELECT q_id, n_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id ASC) AS rnk
+  FROM scored)
+SELECT q_id, n_id, rnk, round(c, 6) AS cos FROM r WHERE rnk <= 3
+"""
+
+
+def q61_ann_lsh(spark, sf):
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    return similarity.ann_topk(q, corpus, spark, k=3, n_planes=6, seed=7, dim=64)
+
+
+SQL61 = f"""
+WITH planes AS (
+  SELECT p, d, ({_H("CAST(7 AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 2001 - 1000) / 1000.0 AS coef
+  FROM UNNEST(generate_series(0, 5)) AS tp(p),
+       UNNEST(generate_series(0, 63)) AS td(d)),
+comp AS (
+  SELECT vec_id AS id, i - 1 AS d, embedding[i] AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+proj AS (
+  SELECT id, p, sum(CAST(x AS DOUBLE) * coef) AS proj
+  FROM comp JOIN planes USING (d) GROUP BY id, p),
+buckets AS (
+  SELECT id, sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY id),
+q AS (
+  SELECT e.vec_id AS q_id, e.embedding AS qv, b.bucket
+  FROM embeddings e JOIN buckets b ON b.id = e.vec_id WHERE e.vec_id < 10),
+n AS (
+  SELECT e.vec_id AS n_id, e.embedding AS nv, b.bucket
+  FROM embeddings e JOIN buckets b ON b.id = e.vec_id WHERE e.vec_id >= 10),
+cand AS (SELECT q_id, qv, n_id, nv FROM q JOIN n USING (bucket) WHERE q_id != n_id),
+scored AS (
+  SELECT q_id, n_id,
+         {_dot('qv', 'nv')} / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('nv', 'nv')})) AS c
+  FROM cand),
+r AS (
+  SELECT q_id, n_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id ASC) AS rnk
+  FROM scored)
+SELECT q_id, n_id, rnk, round(c, 6) AS cos FROM r WHERE rnk <= 3
+"""
+
+
+QUERIES = {
+    "q60_cosine_topk": q60_cosine_topk,
+    "q61_ann_lsh": q61_ann_lsh,
+}
+
+ORACLE = {
+    "q60_cosine_topk": SQL60,
+    "q61_ann_lsh": SQL61,
+}

@@ -1,0 +1,127 @@
+"""Text-analysis queries (training-data pipeline ops over `documents`):
+token counting, quality scoring, language-ID, fingerprinting — each
+backed by crawlspark.operators.textstats and an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import textstats
+from ..portable import md5hash60_sql
+from .relational import T
+
+_H = md5hash60_sql
+
+_STOP_VALUES = ", ".join(
+    f"('{lang}', '{tok}')"
+    for lang, toks in sorted(textstats.STOPWORDS.items())
+    for tok in toks
+)
+
+
+# --- BPE-ish token counting ----------------------------------------------
+
+def q40_token_stats(spark, sf):
+    d = T(spark, sf, "documents").withColumn(
+        "n_tokens", textstats.token_count_col(F.col("text"))
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+SQL40 = r"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens, round(avg(n), 4) AS avg_tokens
+FROM (SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n
+      FROM documents)
+GROUP BY source
+"""
+
+
+# --- quality scoring ------------------------------------------------------
+
+def q41_quality(spark, sf):
+    d = T(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    q = textstats.with_quality(d, "text")
+    return q.select(
+        "doc_id", "n_words", "ttr", "mean_word_len", "stopword_ratio", "quality"
+    )
+
+
+SQL41 = r"""
+SELECT doc_id, n_words,
+       round(n_distinct / n_words, 6) AS ttr,
+       round((n_chars_t - (n_words - 1)) / n_words, 6) AS mean_word_len,
+       round(n_stop / n_words, 6) AS stopword_ratio,
+       round(least(1.0, n_words / 200.0) * 0.5
+             + (1 - least(1.0, n_punct / n_chars_t * 10)) * 0.25
+             + least(1.0, n_stop / n_words * 5) * 0.25, 6) AS quality
+FROM (
+  SELECT doc_id,
+         len(w) AS n_words,
+         len(list_distinct(w)) AS n_distinct,
+         length(trim(text)) AS n_chars_t,
+         len(regexp_extract_all(trim(text), '[^A-Za-z0-9\s]')) AS n_punct,
+         len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+  FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents)
+) WHERE doc_id < 100
+"""
+
+
+# --- language-ID (stopword-profile argmax) -------------------------------
+
+def q42_lang_id(spark, sf):
+    d = T(spark, sf, "documents")
+    return textstats.lang_id(d, "doc_id", "text", spark)
+
+
+SQL42 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+prof(lang, tok) AS (VALUES {_STOP_VALUES}),
+sc AS (
+  SELECT doc_id, lang, count(*) AS hits
+  FROM toks JOIN prof USING (tok) GROUP BY 1, 2),
+b AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM sc)
+SELECT d.doc_id AS id, coalesce(b.lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN (SELECT doc_id, lang FROM b WHERE rn = 1) b
+  ON b.doc_id = d.doc_id
+"""
+
+
+# --- fingerprinting (min-hash over char 5-grams) -------------------------
+
+def q43_fingerprint(spark, sf):
+    d = T(spark, sf, "documents")
+    return textstats.fingerprint(d, "doc_id", "text", n=5)
+
+
+SQL43 = f"""
+SELECT doc_id AS id, min({_H("substr(t, i, 5)")}) AS fp
+FROM (SELECT doc_id, trim(text) AS t FROM documents),
+     UNNEST(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "q40_token_stats": q40_token_stats,
+    "q41_quality": q41_quality,
+    "q42_lang_id": q42_lang_id,
+    "q43_fingerprint": q43_fingerprint,
+}
+
+ORACLE = {
+    "q40_token_stats": SQL40,
+    "q41_quality": SQL41,
+    "q42_lang_id": SQL42,
+    "q43_fingerprint": SQL43,
+}
