@@ -1,0 +1,254 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Default mode (what the driver runs per round): runs the headline
+relational/dedup/similarity queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus a crawl-engine throughput run on the BENCH
+synthetic frontier, on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "crawl": {"urls_per_sec": ..., "scheduled": ..., "deduped": ...}}
+
+Scaling mode (BASELINE.md step 2): `python bench.py --crawl-only --cores N`
+runs only the crawl throughput at a given core count; BENCH/run_scaling.sh
+invokes it at 8 and 32 cores in separate JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_revenue_by_nation",
+    "q04_order_priority",
+    "q07_ship_latency",
+    "q12_top_orders_per_cust",
+    "q13_running_total",
+    "q22_sessionize",
+    "q25_asof_orders",
+    "q42_lang_id",
+    "q43_fingerprint",
+    "q52_near_dup_pairs",
+    "q54_simhash_pairs",
+    "q60_cosine_topk",
+    "q61_ann_lsh",
+]
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from crawlspark.queries import all_queries
+
+    qs = all_queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()  # materialize the full plan
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def run_crawl(spark, cfg=None, warmup_cycles: int = 1) -> dict:
+    """Crawl throughput per BASELINE.md: URLs (scheduled + deduped) per
+    second over measured cycles (cycle 1 discarded as warm-up), counts
+    taken from the engine's own metrics table."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.engine import CrawlEngine, EngineConfig
+    from crawlspark.synth import BENCH
+
+    g = cfg or BENCH
+    wh = tempfile.mkdtemp(prefix="crawlspark-bench-")
+    eng = CrawlEngine(
+        spark,
+        EngineConfig(graph=g, warehouse=wh, n_salt=32, n_seen_parts=32),
+    )
+    eng.bootstrap()
+    stats = []
+    for c in range(1, g.max_cycles + 1):
+        st = eng.run_cycle(c)
+        stats.append(st)
+        if st["stop"]:
+            break
+    measured = stats[warmup_cycles:] if len(stats) > warmup_cycles else stats
+    m = (
+        eng.cat.read("metrics")
+        .filter((F.col("part") >= 0) & (F.col("cycle_id") > warmup_cycles))
+        .agg(
+            F.sum("urls_scheduled").alias("s"),
+            F.sum("urls_deduped").alias("d"),
+        )
+        .collect()[0]
+    )
+    wall = sum(st["wall_ms"] for st in measured) / 1000.0
+    scheduled, deduped = int(m["s"] or 0), int(m["d"] or 0)
+    return {
+        "urls_per_sec": round((scheduled + deduped) / wall, 1) if wall else 0.0,
+        "scheduled": scheduled,
+        "deduped": deduped,
+        "measured_cycles": len(measured),
+        "wall_sec": round(wall, 2),
+        "per_cycle": [
+            {k: st[k] for k in ("cycle", "scheduled", "deduped", "discovered", "wall_ms")}
+            for st in stats
+        ],
+    }
+
+
+def run_frontier_scale(spark, n_urls: int = 2_000_000, n_hosts: int = 2000,
+                       n_salt: int = 64, n_parts: int = 64, batch: int = 500_000) -> dict:
+    """Scale-representative single cycle: the full frontier dataflow
+    (canonicalize → hash → salt → bloom+anti seen-filter → robots →
+    score → two-phase per-host cap → global top-B) over an n_urls
+    synthetic frontier with a pre-seeded n_urls/2 URL-seen set.
+
+    At 10^10-URL scale a cycle's batch is millions of URLs and compute
+    dominates the fixed commit overhead — this job measures exactly
+    that regime, using the same operator code as the micro-cycle
+    engine. Inputs are persisted before timing; throughput = frontier
+    URLs fully processed (scheduled + rejected by dedup) / sec."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from crawlspark.gen import host_config_df
+    from crawlspark.operators import politeness, schedule, seen
+    from crawlspark.synth import GraphConfig
+    from crawlspark.urlnorm import canonicalize_udf, with_url_parts
+
+    g = GraphConfig(n_sites=n_hosts, token_mult=max(1, batch // (2 * n_hosts)))
+    hc = host_config_df(spark, g).persist()
+    hc.count()
+
+    # messy synthetic frontier, generated JVM-side (timed work starts
+    # at canonicalization, the first real operator)
+    base = spark.range(n_urls).select(
+        F.concat(
+            F.lit("HTTP://Site"),
+            F.lpad((F.col("id") % n_hosts).cast("string"), 4, "0"),
+            F.lit(".EXAMPLE.com:80"),
+            F.when(F.col("id") % 5 == 0, F.lit("/a/../p")).otherwise(F.lit("/p")),
+            (F.pmod(F.col("id") * 2654435761, 10_000_000)).cast("string"),
+            F.when(F.col("id") % 3 == 0, F.lit("?utm_source=b&x=1")).otherwise(F.lit("#f")),
+        ).alias("url"),
+        (F.col("id") % 12).cast("int").alias("depth"),
+        F.col("id").alias("seq"),
+    )
+    frontier = base.repartition(n_parts).persist()
+    frontier.count()
+
+    # pre-seeded URL-seen set: every other frontier URL (after canon)
+    seen_src = (
+        frontier.filter(F.col("seq") % 2 == 0)
+        .withColumn("url_norm", canonicalize_udf("url"))
+        .withColumn("url_hash", F.xxhash64("url_norm"))
+        .withColumn("part", F.pmod(F.col("url_hash"), F.lit(n_parts)).cast("int"))
+        .select("url_hash", "url_norm", "part")
+        .persist()
+    )
+    seen_src.count()
+    from crawlspark.schemas import BLOOM_SEEN
+
+    bloom = seen.fold_bloom(
+        seen_src.select("part", "url_hash"),
+        spark.createDataFrame([], BLOOM_SEEN),
+        cycle_id=0,
+    ).persist()
+    bloom.count()
+
+    def pipeline(fr):
+        cand = (
+            fr.withColumn("url_norm", canonicalize_udf("url"))
+            .filter(F.col("url_norm").isNotNull())
+        )
+        cand = with_url_parts(cand)
+        cand = cand.withColumn(
+            "part", F.pmod(F.col("url_hash"), F.lit(n_parts)).cast("int")
+        ).persist()
+        novel = seen.seen_filter(cand, seen_src, bloom)
+        novel = politeness.robots_filter(novel, hc)
+        novel = schedule.with_score(novel)
+        novel = schedule.with_salt(novel, n_salt)
+        caps = hc.select(
+            "host", F.floor(F.col("token_capacity")).cast("int").alias("cap")
+        )
+        capped = schedule.per_host_cap(novel, caps)
+        sched = schedule.global_schedule(capped, batch)
+        return cand, sched
+
+    # untimed warm-up on a small slice: compiles/caches the codegen for
+    # every stage shape so the measured run pays compute, not JIT
+    warm = frontier.limit(20_000).persist()
+    warm.count()
+    wc, ws = pipeline(warm)
+    ws.count()
+    wc.unpersist(); warm.unpersist()
+    schedule.release_scratch()
+
+    t0 = _t.time()
+    cand, sched = pipeline(frontier)
+    n_sched = sched.count()
+    wall = _t.time() - t0
+    for df in (frontier, seen_src, bloom, hc, cand):
+        df.unpersist()
+    schedule.release_scratch()
+    return {
+        "n_urls": n_urls,
+        "scheduled": n_sched,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(n_urls / wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--queries-only", action="store_true")
+    ap.add_argument("--frontier-only", action="store_true")
+    ap.add_argument("--frontier-urls", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    from crawlspark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    spark = get_spark("crawlspark-bench", cores=cores)
+
+    t0 = time.time()
+    qtimes: dict[str, float] = {}
+    crawl: dict = {}
+    frontier: dict = {}
+    if not (args.crawl_only or args.frontier_only):
+        qtimes = run_queries(spark, sf_dir)
+    if not (args.queries_only or args.frontier_only):
+        crawl = run_crawl(spark)
+    if not (args.queries_only or args.crawl_only):
+        frontier = run_frontier_scale(spark, n_urls=args.frontier_urls)
+    total = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline queries + crawl micro-cycles + frontier-scale cycle "
+                  "(urls scheduled+deduped/sec in crawl.urls_per_sec / frontier.urls_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cores": cores,
+        "crawl": crawl,
+        "frontier": frontier,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

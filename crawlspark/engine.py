@@ -161,8 +161,11 @@ class CrawlEngine:
             return {"cycle": c, "scheduled": 0, "deduped": 0, "discovered": 0,
                     "wall_ms": int((time.time() - t0) * 1000), "stop": True}
 
-        # fetch + parse
-        docs = fetch_ops.fetch_batch(batch, g, c).persist()
+        # fetch + parse. global_schedule's limit() leaves the batch in a
+        # single partition — spread it across executors before the
+        # Arrow-UDF fetch stage or fetch/canonicalize serialize on one core.
+        batch_exec = batch.repartition(self.spark.sparkContext.defaultParallelism)
+        docs = fetch_ops.fetch_batch(batch_exec, g, c).persist()
         links = fetch_ops.extract_links(docs)
         cand = (
             links.withColumn("url_norm", canonicalize_udf("raw_url"))
@@ -265,6 +268,7 @@ class CrawlEngine:
 
         for df in (batch, docs, cand, novel_rows):
             df.unpersist()
+        schedule.release_scratch()
         return {
             "cycle": c, "scheduled": n_sched, "discovered": n_novel,
             "deduped": n_cand - n_novel, "wall_ms": int((time.time() - t0) * 1000),

@@ -57,18 +57,68 @@ def per_host_cap(queued: DataFrame, caps: DataFrame) -> DataFrame:
     )
 
 
+SMALL_BATCH_MAX = 65536
+
+# Persisted range-partitioned temporaries from large-batch
+# global_schedule. They MUST stay cached until the caller materializes
+# the schedule (the range partitioner samples boundaries, so a
+# recompute could re-draw them and desync the collected offsets);
+# callers release them afterwards via release_scratch().
+_SCRATCH: list[DataFrame] = []
+
+
+def release_scratch() -> None:
+    for df in _SCRATCH:
+        df.unpersist()
+    _SCRATCH.clear()
+
+
 def global_schedule(capped: DataFrame, batch_size: int) -> DataFrame:
     """C10: the cycle's fetch batch, with its position in the crawl
     ordering. This IS the ordering contract vs the reference.
 
-    The final row_number window is single-partition but runs on ≤ B
-    rows (already limited); the limit itself is computed distributed
-    (TakeOrderedAndProject). Scale path for B ≫ 10^6: two-phase
-    rank (per-partition row_number + offset by partition counts).
+    Small batches (≤ 64k) use TakeOrderedAndProject + a single-partition
+    row_number window — the window input is already ≤ B rows.
+
+    Large batches use a fully-distributed two-phase rank: range-sort on
+    (score, seq), collect only the per-partition row counts (driver
+    sees P integers, never rows), then batch_pos = partition offset +
+    local row_number — every step parallel, no single-partition funnel.
+    batch_pos is identical either way because (score, seq) is a total
+    order, regardless of where the range partitioner drew boundaries.
     """
-    batch = capped.orderBy("score", "seq").limit(batch_size)
-    w = Window.orderBy("score", "seq")
-    return batch.withColumn("batch_pos", F.row_number().over(w).cast("long"))
+    if batch_size <= SMALL_BATCH_MAX:
+        batch = capped.orderBy("score", "seq").limit(batch_size)
+        w = Window.orderBy("score", "seq")
+        return batch.withColumn("batch_pos", F.row_number().over(w).cast("long"))
+
+    spark = capped.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = (
+        capped.repartitionByRange(n_part, F.col("score"), F.col("seq"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    _SCRATCH.append(ranged)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("score", "seq")
+    out = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("batch_pos", (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .filter(F.col("batch_pos") <= batch_size)
+        .drop("_pid", "_off")
+    )
+    return out
 
 
 def assign_seq(novel: DataFrame, base_seq: int) -> DataFrame:

@@ -93,6 +93,45 @@ def fold_bloom(
     return folded.unionByName(untouched)
 
 
+def bloom_prefilter_broadcast(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Adds `maybe_seen` via a *broadcast* Bloom probe: the bitsets are
+    collected (P × nbits/8 bytes) and shipped to executors once, then a
+    narrow vectorized pandas UDF probes them — no cogroup shuffle.
+
+    Scale envelope: right choice while the whole sidecar fits in
+    executor memory (≤ ~256 MB ⇒ up to ~10^8–10^9 seen URLs at 10
+    bits/key). Beyond that, use :func:`bloom_prefilter` (cogroup,
+    partition-local bitsets — nothing is ever collected)."""
+    spark = candidates.sparkSession
+    tables = {
+        int(r["part"]): (
+            np.frombuffer(r["bits"], dtype=np.uint8),
+            int(r["nbits"]),
+            int(r["k"]),
+        )
+        for r in bloom.collect()
+    }
+    bc = spark.sparkContext.broadcast(tables)
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(part: pd.Series, url_hash: pd.Series) -> pd.Series:
+        t = bc.value
+        pv = part.to_numpy()
+        hv = url_hash.to_numpy(np.int64)
+        out = np.zeros(len(pv), dtype=bool)
+        for p in np.unique(pv):
+            e = t.get(int(p))
+            if e is not None:
+                m = pv == p
+                out[m] = _contains(e[0], hv[m], e[1], e[2])
+        return pd.Series(out)
+
+    return candidates.withColumn("maybe_seen", probe("part", "url_hash"))
+
+
+BROADCAST_BLOOM_MAX_BYTES = 256 << 20
+
+
 def bloom_prefilter(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
     """Adds boolean `maybe_seen`: False ⇒ provably never inserted
     (skips the exact anti-join); True ⇒ must be checked exactly.
@@ -121,10 +160,30 @@ def bloom_prefilter(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
     )
 
 
-def seen_filter(candidates: DataFrame, url_seen: DataFrame, bloom: DataFrame) -> DataFrame:
+def seen_filter(
+    candidates: DataFrame, url_seen: DataFrame, bloom: DataFrame,
+    broadcast_bloom: bool | None = None,
+) -> DataFrame:
     """C4: return only never-seen candidates. Exactness: the Bloom can
-    only send extra rows *to* the anti-join, never around it."""
-    probed = bloom_prefilter(candidates, bloom)
+    only send extra rows *to* the anti-join, never around it.
+
+    Probe strategy (auto): broadcast the bitsets while the sidecar is
+    small (narrow probe, no shuffle); fall back to the cogrouped
+    partition-local probe at sidecar sizes that must stay distributed.
+    Callers should persist `candidates` — the definitely-new/maybe
+    branches both consume the probe stage."""
+    if broadcast_bloom is None:
+        first = bloom.select("nbits").limit(1).collect()
+        if first:
+            nbits = int(first[0][0])
+            n_parts = bloom.count()
+            broadcast_bloom = n_parts * (nbits // 8) <= BROADCAST_BLOOM_MAX_BYTES
+        else:
+            broadcast_bloom = True
+    if broadcast_bloom:
+        probed = bloom_prefilter_broadcast(candidates, bloom)
+    else:
+        probed = bloom_prefilter(candidates, bloom)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = maybe.join(

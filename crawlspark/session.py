@@ -16,7 +16,7 @@ def get_spark(
     app_name: str = "crawlspark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    driver_memory: str = "16g",
+    driver_memory: str = "48g",
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     if cores is None:

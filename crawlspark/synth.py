@@ -43,6 +43,12 @@ class GraphConfig:
     media_prob: float = 0.35
     batch_size: int = 32
     max_cycles: int = 8
+    # politeness scale: multiplies per-host token capacity/refill so
+    # bench graphs can sustain large per-cycle batches while keeping
+    # the same politeness *semantics* (refsim reads the same values)
+    token_mult: int = 1
+    # seed list density (pages 0..s-1 of every site)
+    seeds_per_site: int = 1
 
     # -- topology ----------------------------------------------------------
 
@@ -61,10 +67,10 @@ class GraphConfig:
         return h64(self.seed, "prio", i) % 5
 
     def token_capacity(self, i: int) -> float:
-        return float(2 + h64(self.seed, "cap", i) % 7)
+        return float((2 + h64(self.seed, "cap", i) % 7) * self.token_mult)
 
     def refill_per_cycle(self, i: int) -> float:
-        return float(1 + h64(self.seed, "refill", i) % 4)
+        return float((1 + h64(self.seed, "refill", i) % 4) * self.token_mult)
 
     def crawl_delay_ms(self, i: int) -> int:
         return 100 * (1 + h64(self.seed, "delay", i) % 20)
@@ -160,8 +166,12 @@ class GraphConfig:
     # -- seed list -----------------------------------------------------------
 
     def seeds(self) -> list[str]:
-        """Messy seed URLs, one per site (page 0), in site order."""
-        return [self.messy_url(self.page_url(i, 0), i, 0, 999) for i in range(self.n_sites)]
+        """Messy seed URLs (pages 0..seeds_per_site-1 per site), site-major."""
+        return [
+            self.messy_url(self.page_url(i, j), i, j, 999)
+            for i in range(self.n_sites)
+            for j in range(min(self.seeds_per_site, self.pages_in_site(i)))
+        ]
 
     def total_pages(self) -> int:
         return sum(self.pages_in_site(i) for i in range(self.n_sites))
@@ -189,5 +199,6 @@ def robots_allowed(path: str, rules: list[dict]) -> bool:
 # canonical preset tiers (FIXTURES.md §2.4)
 UNIT = GraphConfig(n_sites=5, max_pages=40, batch_size=16, max_cycles=6)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
-BENCH = GraphConfig(n_sites=500, max_pages=50000, out_degree=8,
-                    batch_size=20000, max_cycles=6)
+BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
+                    batch_size=100000, max_cycles=6, token_mult=50,
+                    seeds_per_site=20)

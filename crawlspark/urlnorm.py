@@ -74,6 +74,8 @@ def canonicalize_one(url: str | None) -> str | None:
         if not host:
             return None
         host = host.lower().rstrip(".")
+        if ":" in host:  # IPv6 literal — urlsplit strips the brackets
+            host = f"[{host}]"
         port = s.port  # may raise ValueError on junk ports
         netloc = host if port is None or port == _DEFAULT_PORTS[scheme] else f"{host}:{port}"
         path = _pct_normalize(_remove_dot_segments(s.path or "/"))
@@ -87,9 +89,41 @@ def canonicalize_one(url: str | None) -> str | None:
         return None
 
 
+# Vectorized fast path: URLs with no query, no percent-escapes, no
+# dot-segments, no userinfo normalize with pure string ops (lowercase
+# scheme/host, strip default port + fragment). Everything else falls
+# back to the exact per-URL canonicalizer. Equality of the two paths
+# is property-tested (tests/test_urlnorm.py).
+_FAST = re.compile(
+    r"^(?P<scheme>[Hh][Tt][Tt][Pp][Ss]?)://(?P<host>[A-Za-z0-9.\-]+)"
+    r"(?P<port>:[1-9][0-9]*)?(?P<path>/[^?#%]*)?(?:#.*)?$"
+)
+_BAD_SEG = re.compile(r"/\.{1,2}(?:/|$)")
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    s = urls.astype("object").str.strip()
+    ext = s.str.extract(_FAST)
+    scheme = ext["scheme"].str.lower()
+    matched = scheme.notna()
+    path = ext["path"].fillna("/")
+    clean_path = ~path.str.contains(_BAD_SEG, na=True)
+    fast = matched & clean_path
+    host = ext["host"].str.lower().str.rstrip(".")
+    port = ext["port"].fillna("")
+    default_port = scheme.map({"http": ":80", "https": ":443"})
+    port = port.mask(port == default_port, "")
+    out = pd.Series(index=s.index, dtype=object)
+    out[fast] = scheme[fast] + "://" + host[fast] + port[fast] + path[fast]
+    slow = ~fast
+    if slow.any():
+        out[slow] = s[slow].map(canonicalize_one)
+    return out
+
+
 @F.pandas_udf(T.StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize_one)
+    return canonicalize_series(urls)
 
 
 def with_url_parts(df, url_col: str = "url_norm"):

@@ -1,0 +1,80 @@
+"""C1 canonicalizer properties: idempotence, and exact equality of the
+vectorized fast path vs the per-URL reference implementation."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlspark.synth import UNIT, GraphConfig
+from crawlspark.urlnorm import canonicalize_one, canonicalize_series
+
+CORPUS = [
+    "http://example.com",
+    "http://example.com/",
+    "HTTP://EXAMPLE.com:80/a/b",
+    "https://example.com:443/a",
+    "https://example.com:8443/a",
+    "http://example.com:8080/p?b=2&a=1",
+    "http://example.com/a/../b",
+    "http://example.com/a/./b",
+    "http://example.com/p#frag",
+    "http://example.com./p",
+    "http://example.com/p?utm_source=x&q=1",
+    "http://example.com/%7Euser/%2fx",
+    "http://user:pw@example.com/p",
+    "http://[::1]:80/p",
+    "ftp://example.com/x",
+    "not a url",
+    "http://",
+    "http://example.com/p?",
+    "http://example.com/p?a=1&a=0",
+    "http://example.com:0/p",
+    "  http://example.com/p  ",
+    "http://exa_mple.com/p",
+    "http://example.com//double//slash",
+    "http://example.com/UPPER/Case",
+]
+
+
+def test_fast_path_equals_reference_corpus():
+    extra = [
+        UNIT.messy_url(UNIT.page_url(i, j), i, j, k)
+        for i in range(UNIT.n_sites)
+        for j in range(3)
+        for k in range(5)
+    ]
+    urls = pd.Series(CORPUS + extra)
+    got = canonicalize_series(urls)
+    want = urls.map(canonicalize_one)
+    assert got.where(got.notna(), None).tolist() == want.where(want.notna(), None).tolist()
+
+
+def test_idempotent_on_corpus():
+    for u in CORPUS:
+        c = canonicalize_one(u)
+        if c is not None:
+            assert canonicalize_one(c) == c, u
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet="abcXYZ019.-_/:?#&=%~@[] ",
+        min_size=0,
+        max_size=40,
+    ).map(lambda s: "http://" + s)
+)
+def test_fast_path_equals_reference_fuzz(u):
+    got = canonicalize_series(pd.Series([u])).iloc[0]
+    want = canonicalize_one(u)
+    assert (got is None and want is None) or got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=60))
+def test_idempotent_fuzz(u):
+    c = canonicalize_one(u)
+    if c is not None:
+        assert canonicalize_one(c) == c
