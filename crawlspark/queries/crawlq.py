@@ -72,11 +72,24 @@ def q83_crawl_metrics(spark, sf):
     )
 
 
+def q84_media_features(spark, sf):
+    """Multimodal pipeline over the crawl's media spans: explode refs →
+    fetch blobs → decode (stubbed) features (crawlspark/multimodal.py).
+    Rows-only: the blob path is not SQL-expressible."""
+    from .. import multimodal as M
+
+    docs = _engine(spark).documents()
+    return M.media_pipeline(docs).select(
+        "media_ref", "doc_id", "kind", "n_bytes", "width", "height", "n_frames", "decoder"
+    )
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
     "q82_crawl_docs": q82_crawl_docs,
     "q83_crawl_metrics": q83_crawl_metrics,
+    "q84_media_features": q84_media_features,
 }
 
 ORACLE: dict[str, str] = {}

@@ -112,11 +112,33 @@ GROUP BY doc_id
 """
 
 
+# --- multimodal metadata over an opaque binary column --------------------
+
+def q44_media_meta(spark, sf):
+    """Binary-column plumbing (multimodal.py design): blob = utf-8
+    bytes of text as a stand-in payload; typed metadata = byte length
+    + magic prefix, all JVM-side."""
+    d = T(spark, sf, "documents").withColumn("blob", F.encode("text", "utf-8"))
+    return d.select(
+        "doc_id",
+        F.octet_length("blob").alias("n_bytes"),
+        F.substring(F.hex(F.col("blob")), 1, 16).alias("magic"),
+    )
+
+
+SQL44 = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       substr(hex(encode(text)), 1, 16) AS magic
+FROM documents
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
     "q42_lang_id": q42_lang_id,
     "q43_fingerprint": q43_fingerprint,
+    "q44_media_meta": q44_media_meta,
 }
 
 ORACLE = {
@@ -124,4 +146,5 @@ ORACLE = {
     "q41_quality": SQL41,
     "q42_lang_id": SQL42,
     "q43_fingerprint": SQL43,
+    "q44_media_meta": SQL44,
 }
