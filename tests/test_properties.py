@@ -1,0 +1,148 @@
+"""Property tests (SURVEY.md §5.3/§5.4): Bloom exactness, politeness
+cap enforcement, schedule determinism, LSH recall, resume exactness."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crawlspark.engine import CrawlEngine, EngineConfig
+from crawlspark.operators import dedup, schedule, seen
+from crawlspark.synth import UNIT
+
+
+# -- Bloom: zero false negatives always (C4 must never drop novel URLs) ---
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=300),
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=100),
+)
+def test_bloom_no_false_negatives(inserted, probed):
+    nbits, k = 1 << 12, 4
+    bits = np.zeros(nbits // 8, dtype=np.uint8)
+    if inserted:
+        seen._insert(bits, np.array(inserted, dtype=np.int64), nbits, k)
+    if probed:
+        got = seen._contains(bits, np.array(probed, dtype=np.int64), nbits, k)
+        for h, g in zip(probed, got):
+            if h in set(inserted):
+                assert g, "false negative — exactness broken"
+
+
+def test_bloom_prefilter_vs_broadcast_equal(spark):
+    hashes = spark.range(5000).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url_norm"),
+    ).withColumn("part", F.pmod(F.col("url_hash"), F.lit(8)).cast("int"))
+    half = hashes.filter(F.col("url_hash") % 2 == 0)
+    from crawlspark.schemas import BLOOM_SEEN
+
+    bloom = seen.fold_bloom(
+        half.select("part", "url_hash"), spark.createDataFrame([], BLOOM_SEEN), cycle_id=1
+    ).persist()
+    a = seen.bloom_prefilter(hashes, bloom).select("url_hash", "maybe_seen")
+    b = seen.bloom_prefilter_broadcast(hashes, bloom).select("url_hash", "maybe_seen")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    bloom.unpersist()
+
+
+# -- per-host cap never exceeded; large-batch schedule == small-batch ------
+
+def test_per_host_cap_and_schedule_paths(spark):
+    n = 20000
+    df = spark.range(n).select(
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        (F.col("id") % 3).cast("int").alias("host_salt"),
+        (F.col("id") % 5).cast("long").alias("score"),
+        F.col("id").alias("seq"),
+    )
+    caps = spark.createDataFrame(
+        [(f"h{i}", 50 + 100 * i) for i in range(7)], "host string, cap int"
+    )
+    capped = schedule.per_host_cap(df, caps).persist()
+    got = {
+        r["host"]: r["n"]
+        for r in capped.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    for i in range(7):
+        assert got[f"h{i}"] <= 50 + 100 * i
+
+    # small path (TakeOrdered) and large path (two-phase rank) agree
+    small = schedule.global_schedule(capped, 1000)
+    rows_small = sorted(
+        (r["batch_pos"], r["host"], r["seq"]) for r in small.collect()
+    )
+    old_max = schedule.SMALL_BATCH_MAX
+    schedule.SMALL_BATCH_MAX = 0
+    try:
+        large = schedule.global_schedule(capped, 1000)
+        rows_large = sorted(
+            (r["batch_pos"], r["host"], r["seq"]) for r in large.collect()
+        )
+    finally:
+        schedule.SMALL_BATCH_MAX = old_max
+        schedule.release_scratch()
+    assert rows_small == rows_large
+    capped.unpersist()
+
+
+# -- MinHash-LSH recall vs brute-force Jaccard -----------------------------
+
+def test_lsh_recall_on_planted_dups(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sh = dedup.shingle_table(docs, "doc_id", "text", k=2).persist()
+    # brute-force ground truth at the same threshold
+    pairs_all = (
+        sh.select(F.col("id").alias("i")).distinct()
+        .join(sh.select(F.col("id").alias("j")).distinct(), F.col("i") < F.col("j"))
+    )
+    truth = {
+        (r["i"], r["j"])
+        for r in dedup.jaccard_verify(pairs_all, sh, threshold=0.8).collect()
+    }
+    found = {
+        (r["i"], r["j"])
+        for r in dedup.minhash_near_dups(
+            docs, "doc_id", "text", k=2, n_hashes=8, bands=4, threshold=0.8
+        ).collect()
+    }
+    sh.unpersist()
+    assert truth, "expected planted near-dups in testdata"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, (recall, truth - found)
+    assert found <= truth  # exact verify ⇒ no false positives
+
+
+# -- resume exactness (C16) ------------------------------------------------
+
+def test_resume_bit_identical(spark):
+    wh_full = tempfile.mkdtemp()
+    e1 = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=wh_full))
+    e1.run()
+
+    wh_resume = tempfile.mkdtemp()
+    e2 = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=wh_resume))
+    e2.bootstrap()
+    e2.run_cycle(1)
+    e2.run_cycle(2)  # "crash" here: new engine object resumes from snapshot
+    e3 = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=wh_resume))
+    e3.run()
+
+    for table, key in [
+        ("scheduled", ["cycle_id", "batch_pos", "url_norm", "url_hash", "score", "seq"]),
+        ("url_seen", ["url_norm", "url_hash", "first_cycle"]),
+        ("frontier", ["url_norm", "seq", "depth", "score", "cycle_id"]),
+    ]:
+        a = sorted(map(tuple, e1.cat.read(table).select(*key).collect()))
+        b = sorted(map(tuple, e3.cat.read(table).select(*key).collect()))
+        assert a == b, table
+    # span-sequence equality of documents
+    da = {r["doc_id"]: r["spans"] for r in e1.documents().collect()}
+    db = {r["doc_id"]: r["spans"] for r in e3.documents().collect()}
+    assert da == db
