@@ -570,6 +570,170 @@ ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
 """
 
 
+# --- §2.3 string distance / formatting -----------------------------------
+
+def q28_string_funcs(spark, sf):
+    n = T(spark, sf, "nation")
+    return n.select(
+        "n_nationkey",
+        F.levenshtein(F.col("n_name"), F.lit("UNITED STATES")).alias("lev_us"),
+        F.format_string("%03d-%s", F.col("n_nationkey"), F.lower("n_name")).alias("tag"),
+        F.substring("n_name", 1, 3).alias("pre3"),
+        F.reverse(F.col("n_name")).alias("rev"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("tr"),
+    )
+
+
+SQL28 = """
+SELECT n_nationkey,
+       levenshtein(n_name, 'UNITED STATES') AS lev_us,
+       printf('%03d-%s', n_nationkey, lower(n_name)) AS tag,
+       substr(n_name, 1, 3) AS pre3,
+       reverse(n_name) AS rev,
+       translate(n_name, 'AEIOU', 'aeiou') AS tr
+FROM nation
+"""
+
+
+# --- §2.3 date/time arithmetic -------------------------------------------
+
+def q29_date_funcs(spark, sf):
+    o = T(spark, sf, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.dayofweek("o_orderdate")).alias("n_dows"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
+    )
+
+
+SQL29 = """
+SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+       count(*) AS n,
+       count(DISTINCT dayofweek(o_orderdate) + 1) AS n_dows,
+       min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --- §2.3 array higher-order functions -----------------------------------
+
+def q30_array_funcs(spark, sf):
+    e = T(spark, sf, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.element_at(v, 1).cast("double"), 6).alias("first_v"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + F.abs(x.cast("double"))), 4
+        ).alias("l1"),
+        F.round(F.array_max(v).cast("double"), 6).alias("mx"),
+    )
+
+
+SQL30 = """
+SELECT vec_id, len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       round(list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                         (a, b) -> a + b), 4) AS l1,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx
+FROM embeddings
+"""
+
+
+# --- §2.3 map functions (props json -> map) ------------------------------
+
+def q31_map_funcs(spark, sf):
+    e = T(spark, sf, "events").withColumn(
+        "m", F.from_json("props", "map<string,int>")
+    )
+    return e.select(
+        "event_id",
+        F.size(F.map_keys("m")).alias("n_keys"),
+        F.element_at("m", "k").alias("k_val"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_csv"),
+    )
+
+
+SQL31 = """
+SELECT event_id,
+       len(json_keys(props)) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
+FROM events
+"""
+
+
+# --- §2.3 conditionals ----------------------------------------------------
+
+def q32_conditionals(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return (
+        li.withColumn(
+            "bucket",
+            F.when(F.col("l_quantity") < 10, "low")
+            .when(F.col("l_quantity") < 30, "mid")
+            .otherwise("high"),
+        )
+        .withColumn("flag", F.nullif(F.col("l_returnflag"), F.lit("N")))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("flag").alias("n_flagged"),
+            F.round(F.sum(F.coalesce(F.col("l_discount"), F.lit(0.0))), 4).alias("disc_sum"),
+        )
+    )
+
+
+SQL32 = """
+SELECT CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket,
+       count(*) AS n,
+       count(nullif(l_returnflag, 'N')) AS n_flagged,
+       round(sum(coalesce(l_discount, 0.0)), 4) AS disc_sum
+FROM lineitem GROUP BY 1
+"""
+
+
+# --- R14 grouping sets (explicit) ----------------------------------------
+
+def q33_grouping_sets(spark, sf):
+    o = T(spark, sf, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return o.sparkSession.sql(
+        """
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL33 = """
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       count(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --- R13 approx_count_distinct (HLL; rows-only — sketches differ) --------
+
+def q34_approx_distinct(spark, sf):
+    e = T(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -597,6 +761,13 @@ QUERIES = {
     "q24_hash_md5": q24_hash_md5,
     "q25_asof_orders": q25_asof_orders,
     "q27_intersect_nations": q27_intersect_nations,
+    "q28_string_funcs": q28_string_funcs,
+    "q29_date_funcs": q29_date_funcs,
+    "q30_array_funcs": q30_array_funcs,
+    "q31_map_funcs": q31_map_funcs,
+    "q32_conditionals": q32_conditionals,
+    "q33_grouping_sets": q33_grouping_sets,
+    "q34_approx_distinct": q34_approx_distinct,
 }
 
 ORACLE = {
@@ -626,4 +797,10 @@ ORACLE = {
     "q24_hash_md5": SQL24,
     "q25_asof_orders": SQL25,
     "q27_intersect_nations": SQL27,
+    "q28_string_funcs": SQL28,
+    "q29_date_funcs": SQL29,
+    "q30_array_funcs": SQL30,
+    "q31_map_funcs": SQL31,
+    "q32_conditionals": SQL32,
+    "q33_grouping_sets": SQL33,
 }
