@@ -217,25 +217,37 @@ class CrawlEngine:
             fetch_ops.doc_bytes_col().alias("bytes"),
         )
 
-        # per-partition (host_salt) lineage + counters, computed in-plan
-        m_in = queued.groupBy("host_salt").agg(F.count("*").alias("urls_in"))
-        m_sched = batch.groupBy("host_salt").agg(F.count("*").alias("urls_scheduled"))
-        m_cand = cand.groupBy("host_salt").agg(F.count("*").alias("n_cand"))
-        m_novel = novel_rows.groupBy("host_salt").agg(F.count("*").alias("n_novel"))
-        metrics = (
-            m_in.join(m_sched, "host_salt", "full")
-            .join(m_cand, "host_salt", "full")
-            .join(m_novel, "host_salt", "full")
-            .select(
-                F.lit(c).cast("long").alias("cycle_id"),
-                F.col("host_salt").alias("part"),
-                F.coalesce("urls_in", F.lit(0)).cast("long").alias("urls_in"),
-                (F.coalesce("n_cand", F.lit(0)) - F.coalesce("n_novel", F.lit(0)))
-                .cast("long").alias("urls_deduped"),
-                F.coalesce("urls_scheduled", F.lit(0)).cast("long").alias("urls_scheduled"),
-                F.coalesce("urls_scheduled", F.lit(0)).cast("long").alias("docs_written"),
-                F.lit(0).cast("long").alias("wall_ms"),
+        # per-partition (host_salt) lineage + counters: one tagged union
+        # + one aggregation (single shuffle) instead of 4 groupBys + 3
+        # full joins — per-cycle fixed cost matters at micro-batch sizes
+        def tag(df, col):
+            return df.select(
+                "host_salt",
+                *[
+                    F.lit(1 if name == col else 0).alias(name)
+                    for name in ("t_in", "t_sched", "t_cand", "t_novel")
+                ],
             )
+
+        tagged = (
+            tag(queued, "t_in")
+            .unionByName(tag(batch, "t_sched"))
+            .unionByName(tag(cand, "t_cand"))
+            .unionByName(tag(novel_rows, "t_novel"))
+        )
+        metrics = tagged.groupBy("host_salt").agg(
+            F.sum("t_in").alias("s_in"),
+            F.sum("t_sched").alias("s_sched"),
+            F.sum("t_cand").alias("s_cand"),
+            F.sum("t_novel").alias("s_novel"),
+        ).select(
+            F.lit(c).cast("long").alias("cycle_id"),
+            F.col("host_salt").alias("part"),
+            F.col("s_in").cast("long").alias("urls_in"),
+            (F.col("s_cand") - F.col("s_novel")).cast("long").alias("urls_deduped"),
+            F.col("s_sched").cast("long").alias("urls_scheduled"),
+            F.col("s_sched").cast("long").alias("docs_written"),
+            F.lit(0).cast("long").alias("wall_ms"),
         )
         wall_ms = int((time.time() - t0) * 1000)
         m_wall = self.spark.createDataFrame(

@@ -71,3 +71,35 @@ def test_deterministic_across_parallelism(spark, tmp_path_factory, run_pair):
         assert got == ref_order
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_equivalence_at_t2_scale(spark, tmp_path_factory):
+    """Same three gates at a 50-site / ~2.8k-page / 8-cycle graph with
+    a mega-host (Zipf head) — exercises the salted cap and large-batch
+    paths the UNIT graph cannot reach."""
+    from crawlspark.synth import GraphConfig
+
+    g = GraphConfig(n_sites=24, max_pages=400, batch_size=96,
+                    out_degree=5, max_cycles=5, token_mult=3)
+    wh = tmp_path_factory.mktemp("wh-t2")
+    eng = CrawlEngine(spark, EngineConfig(graph=g, warehouse=str(wh), n_salt=4))
+    eng.run()
+    ref_order, ref_seen, ref_docs = RefSim(g).run()
+
+    got_order = [
+        (r["cycle_id"], r["batch_pos"], r["url_norm"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert len(got_order) > 200
+    assert got_order == ref_order
+    got_seen = {r["url_norm"]: r["first_cycle"] for r in eng.seen_set().collect()}
+    assert got_seen == ref_seen
+    got_docs = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in eng.documents().collect()
+    }
+    want_docs = {
+        u: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        for u, (c, spans) in ref_docs.items()
+    }
+    assert got_docs == want_docs
