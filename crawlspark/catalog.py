@@ -85,6 +85,27 @@ class Catalog:
     def begin(self) -> "Transaction":
         return Transaction(self)
 
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, table: str, partition_by: list[str] | None = None) -> dict:
+        """Rewrite a table's N appended directories into one (Iceberg's
+        rewrite_data_files analogue). Long crawls append one dir per
+        cycle; scan-side the union is logically fine but file listing
+        and tiny files accumulate — compaction caps both. Atomic: the
+        rewrite lands in a new dir, then a snapshot commit swaps the
+        manifest; readers pinned to older snapshots are unaffected."""
+        snap = self.current_snapshot()
+        dirs = (snap or {}).get("tables", {}).get(table, [])
+        if len(dirs) <= 1:
+            return snap or {}
+        df = self.read(table, snap)
+        txn = self.begin()
+        txn.overwrite(table, df, partition_by=partition_by)
+        return txn.commit(
+            cycle_id=(snap or {}).get("cycle_id", 0),
+            meta={**(snap or {}).get("meta", {}), f"compacted_{table}": len(dirs)},
+        )
+
 
 class Transaction:
     """Stages appends/overwrites; nothing is visible until commit()."""

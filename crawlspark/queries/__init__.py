@@ -16,9 +16,9 @@ Parity rules used throughout (SURVEY.md §3.3):
 
 from __future__ import annotations
 
-from . import crawlq, dedupq, relational, simq, textq
+from . import crawlq, dedupq, relational, simq, streamq, textq
 
-_MODULES = [relational, textq, dedupq, simq, crawlq]
+_MODULES = [relational, textq, dedupq, simq, streamq, crawlq]
 
 
 def all_queries():

@@ -724,6 +724,68 @@ FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+# --- R2 JSON / CSV scans with explicit schema ----------------------------
+
+_SEED_JSON = "/tmp/crawlspark_seed_scan.jsonl"
+_SEED_CSV = "/tmp/crawlspark_seed_scan.csv"
+
+
+def _write_seed_files():
+    from ..synth import T2
+
+    seeds = T2.seeds()
+    with open(_SEED_JSON, "w") as f:
+        for i, u in enumerate(seeds):
+            f.write('{"pos": %d, "url": "%s"}\n' % (i, u))
+    with open(_SEED_CSV, "w") as f:
+        f.write("pos,url\n")
+        for i, u in enumerate(seeds):
+            f.write(f"{i},{u}\n")
+
+
+def q35_json_scan(spark, sf):
+    """R2: seed-list ingestion — JSON lines with an explicit schema
+    (never inferred in prod), host extracted JVM-side."""
+    _write_seed_files()
+    df = spark.read.schema("pos long, url string").json(_SEED_JSON)
+    return df.select(
+        "pos", "url", F.lower(F.parse_url("url", F.lit("HOST"))).alias("host")
+    )
+
+
+SQL35 = f"""
+SELECT pos, url,
+       lower(regexp_extract(url, '^[a-zA-Z]+://([^/:]+)', 1)) AS host
+FROM read_json('{_SEED_JSON}', columns = {{'pos': 'BIGINT', 'url': 'VARCHAR'}})
+"""
+
+
+def q36_csv_scan(spark, sf):
+    _write_seed_files()
+    df = (
+        spark.read.schema("pos long, url string")
+        .option("header", "true")
+        .csv(_SEED_CSV)
+    )
+    return df.select("pos", F.length("url").alias("url_len"))
+
+
+SQL36 = f"""
+SELECT pos, length(url) AS url_len
+FROM read_csv('{_SEED_CSV}', header = true, columns = {{'pos': 'BIGINT', 'url': 'VARCHAR'}})
+"""
+
+
+# --- R24 sample (rows-only: sampling algorithms differ by engine) --------
+
+def q37_sample(spark, sf):
+    s = T(spark, sf, "lineitem").sample(fraction=0.1, seed=42)
+    return s.agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
 # --- R13 approx_count_distinct (HLL; rows-only — sketches differ) --------
 
 def q34_approx_distinct(spark, sf):
@@ -768,6 +830,9 @@ QUERIES = {
     "q32_conditionals": q32_conditionals,
     "q33_grouping_sets": q33_grouping_sets,
     "q34_approx_distinct": q34_approx_distinct,
+    "q35_json_scan": q35_json_scan,
+    "q36_csv_scan": q36_csv_scan,
+    "q37_sample": q37_sample,
 }
 
 ORACLE = {
@@ -803,4 +868,6 @@ ORACLE = {
     "q31_map_funcs": SQL31,
     "q32_conditionals": SQL32,
     "q33_grouping_sets": SQL33,
+    "q35_json_scan": SQL35,
+    "q36_csv_scan": SQL36,
 }

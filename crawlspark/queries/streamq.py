@@ -1,0 +1,114 @@
+"""Streaming queries for the driver contract: the Structured Streaming
+path run to completion with trigger(availableNow) — results land in a
+memory sink and are returned as a DataFrame, so the *streaming* window
+aggregation is hash-compared against the DuckDB batch oracle (S3's
+batch-equivalence, checked by the driver itself).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from .. import streaming as S
+
+_COUNTER = itertools.count()
+
+
+def _events_dir(sf: str) -> str:
+    """File-source streams need a directory; expose the events parquet
+    through a per-sf symlink dir."""
+    import os
+
+    d = f"/tmp/crawlspark_stream_src_{sf.strip('/').replace('/', '_')}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf}/events.parquet", link)
+    return d
+
+
+def q90_stream_window_rates(spark, sf):
+    """S1+S2+S3 end-to-end: file-source stream over the events parquet,
+    watermarked 6-hour tumbling windows, availableNow to completion."""
+    name = f"q90_sink_{next(_COUNTER)}"
+    stream = S.file_stream(spark, _events_dir(sf), S.EVENTS_SCHEMA)
+    agg = S.windowed_rates(stream, window="6 hours", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("win_start").cast("long").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+SQL90 = """
+SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS win_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q91_stream_sessions(spark, sf):
+    """S4: session windows (30-min gap) to completion; compared against
+    the DuckDB lag+cumsum batch formulation of the same sessions."""
+    name = f"q91_sink_{next(_COUNTER)}"
+    stream = S.file_stream(spark, _events_dir(sf), S.EVENTS_SCHEMA)
+    agg = S.session_counts(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    per_user = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.max("n_events").alias("max_session_events"))
+    )
+    return per_user
+
+
+SQL91 = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s AS (
+  -- >= : session_window ranges are half-open [start, start+gap), so an
+  -- event exactly gap later starts a NEW session
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM x),
+c AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s),
+p AS (SELECT user_id, sess_id, count(*) AS len FROM c GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, max(len) AS max_session_events
+FROM p GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q90_stream_window_rates": q90_stream_window_rates,
+    "q91_stream_sessions": q91_stream_sessions,
+}
+
+ORACLE = {
+    "q90_stream_window_rates": SQL90,
+    "q91_stream_sessions": SQL91,
+}

@@ -146,3 +146,42 @@ def test_resume_bit_identical(spark):
     da = {r["doc_id"]: r["spans"] for r in e1.documents().collect()}
     db = {r["doc_id"]: r["spans"] for r in e3.documents().collect()}
     assert da == db
+
+
+# -- catalog compaction (manifest growth control) -------------------------
+
+def test_catalog_compaction_preserves_content(spark):
+    wh = tempfile.mkdtemp()
+    eng = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=wh))
+    eng.run()
+    snap_before = eng.cat.current_snapshot()
+    n_dirs_before = len(snap_before["tables"]["frontier"])
+    assert n_dirs_before > 1
+    before = sorted(map(tuple, eng.cat.read("frontier").collect()))
+    eng.cat.compact("frontier")
+    snap_after = eng.cat.current_snapshot()
+    assert len(snap_after["tables"]["frontier"]) == 1
+    after = sorted(map(tuple, eng.cat.read("frontier").collect()))
+    assert before == after
+    # time travel: the pre-compaction snapshot still reads the old dirs
+    old = sorted(map(tuple, eng.cat.read("frontier", snap_before).collect()))
+    assert old == before
+
+
+# -- mega-host salting spreads window work (C11) --------------------------
+
+def test_mega_host_salt_spread(spark):
+    from crawlspark.synth import GraphConfig
+
+    g = GraphConfig(n_sites=4, max_pages=600, batch_size=512,
+                    out_degree=8, max_cycles=4, token_mult=30,
+                    seeds_per_site=5)
+    wh = tempfile.mkdtemp()
+    eng = CrawlEngine(spark, EngineConfig(graph=g, warehouse=wh, n_salt=8))
+    eng.run()
+    sched = eng.cat.read("scheduled")
+    mega = sched.filter(F.col("host") == g.host(0))
+    n = mega.count()
+    n_salts = mega.select("host_salt").distinct().count()
+    assert n > 50, n
+    assert n_salts >= 4, (n, n_salts)  # mega-host fan-out is salted
