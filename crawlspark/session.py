@@ -27,6 +27,12 @@ def get_spark(
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "CRAWLSPARK_WAREHOUSE_DIR", f"/tmp/crawlspark-sql-warehouse-{os.getpid()}"
+            ),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

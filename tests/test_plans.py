@@ -88,3 +88,43 @@ def test_cycle_plan_shape(spark):
         assert "*(" in pc  # `*(N)` = WholeStageCodegen span marker
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bucketed_seen_join_shuffles_only_candidates(spark):
+    """Bucketed url_seen mirror: the anti-join plan must contain no
+    Exchange on the seen-table side (bucket layout satisfies the join's
+    distribution), only on the candidate side."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators import bucketing
+
+    seen_df = spark.range(50000).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("http://h/p"), F.col("id").cast("string")).alias("url_norm"),
+    )
+    bucketing.write_bucketed(seen_df, "url_seen_bucketed", "url_hash", 8)
+    cand = spark.range(3000).select(
+        F.xxhash64((F.col("id") * 2).cast("string")).alias("url_hash"),
+        F.lit("u").alias("url_norm"),
+    )
+    out = bucketing.colocated_anti_join(cand, spark, "url_seen_bucketed", ["url_hash"])
+    out.collect()
+
+    # at 10^10 rows the seen side can never broadcast — model that by
+    # disabling the broadcast threshold so the planner shows the
+    # bucket-aware sort-merge shape
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out2 = bucketing.colocated_anti_join(
+            cand, spark, "url_seen_bucketed", ["url_hash"]
+        )
+        plan = out2._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    # exactly one Exchange (the candidate side); seen side reads
+    # bucketed files directly
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
