@@ -98,7 +98,31 @@ _FAST_PATTERN = (
     r"^(?P<scheme>[Hh][Tt][Tt][Pp][Ss]?)://(?P<host>[A-Za-z0-9.\-]+)"
     r"(?P<port>:[1-9][0-9]*)?(?P<path>/[^?#%]*)?(?:#.*)?$"
 )
+# mid path: same shape but WITH a query in a conservative charset whose
+# parse_qsl→urlencode round trip is the identity (no %-escapes, no '+',
+# only unreserved chars) — param drop/sort then happens on short
+# strings in Python, ~10× cheaper than full urllib
+_MID_PATTERN = (
+    r"^(?P<scheme>[Hh][Tt][Tt][Pp][Ss]?)://(?P<host>[A-Za-z0-9.\-]+)"
+    r"(?P<port>:[1-9][0-9]*)?(?P<path>/[^?#%]*)?\?(?P<query>[A-Za-z0-9_=&.~\-]*)(?:#.*)?$"
+)
 _BAD_SEG_PATTERN = r"/\.{1,2}(/|$)"
+
+
+def _norm_query(q: str) -> str:
+    """Identical to parse_qsl(keep_blank_values)→drop tracking→sort→
+    urlencode for queries in the _MID_PATTERN charset."""
+    if not q:
+        return ""
+    pairs = []
+    for kv in q.split("&"):
+        if not kv:
+            continue
+        k, _, v = kv.partition("=")
+        if not _TRACKING.match(k):
+            pairs.append((k, v))
+    pairs.sort()
+    return "&".join(f"{k}={v}" for k, v in pairs)
 
 
 def canonicalize_series(urls: pd.Series) -> pd.Series:
@@ -134,9 +158,43 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     out.index = urls.index
     fast_pd = fast.to_pandas().fillna(False).astype(bool)
     fast_pd.index = urls.index
-    slow = ~fast_pd
-    if slow.any():
-        out[slow] = urls[slow].map(canonicalize_one)
+    rest = ~fast_pd
+
+    if rest.any():
+        # mid path: query URLs in the round-trip-identity charset
+        sub = pc.if_else(pa.Array.from_pandas(fast_pd), pa.scalar(None, pa.string()), arr)
+        ext2 = pc.extract_regex(sub, _MID_PATTERN)
+        scheme2 = pc.utf8_lower(pc.struct_field(ext2, "scheme"))
+        host2 = pc.utf8_rtrim(pc.utf8_lower(pc.struct_field(ext2, "host")), ".")
+        port2 = pc.struct_field(ext2, "port")
+        path2 = pc.struct_field(ext2, "path")
+        path2 = pc.if_else(
+            pc.or_kleene(pc.is_null(path2), pc.equal(path2, "")), pa.scalar("/"), path2
+        )
+        dp2 = pc.if_else(pc.equal(scheme2, "http"), pa.scalar(":80"), pa.scalar(":443"))
+        port2 = pc.if_else(
+            pc.or_kleene(pc.is_null(port2), pc.equal(port2, dp2)), pa.scalar(""), port2
+        )
+        base2 = pc.binary_join_element_wise(
+            scheme2,
+            pc.if_else(pc.is_valid(scheme2), pa.scalar("://"), pa.scalar(None, pa.string())),
+            host2, port2, path2, "",
+        )
+        mid = pc.and_kleene(
+            pc.is_valid(scheme2), pc.invert(pc.match_substring_regex(path2, _BAD_SEG_PATTERN))
+        )
+        mid_pd = mid.to_pandas().fillna(False).astype(bool)
+        mid_pd.index = urls.index
+        if mid_pd.any():
+            base_pd = base2.to_pandas()
+            base_pd.index = urls.index
+            q_pd = pc.struct_field(ext2, "query").to_pandas()
+            q_pd.index = urls.index
+            nq = q_pd[mid_pd].map(_norm_query)
+            out[mid_pd] = base_pd[mid_pd].str.cat(("?" + nq).where(nq != "", ""))
+        slow = rest & ~mid_pd
+        if slow.any():
+            out[slow] = urls[slow].map(canonicalize_one)
     return out
 
 
