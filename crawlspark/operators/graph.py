@@ -1,0 +1,135 @@
+"""Iterative graph operators over the crawl's link structure:
+PageRank (host/page authority for crawl prioritization) and
+connected components (near-dup pair clustering for dedup keeper
+selection).
+
+Both are driver-controlled fixed-point loops over DataFrame joins —
+the idiomatic Spark shape for iteration (each step is a fully
+optimized join+agg plan; the loop itself is tiny driver logic).
+Scale notes:
+- every iteration shuffles on the join key; `iterations` is O(10) for
+  PageRank and O(log n) for components (label propagation halves the
+  diameter each round via min-label spread);
+- intermediate results are checkpoint-persisted each round and the
+  previous round unpersisted, so lineage stays O(1) deep instead of
+  O(iterations) (the classic iterative-Spark pitfall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,  # (src, dst)
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """(id, rank): standard damped PageRank; dangling mass is
+    redistributed uniformly so total rank stays n (matching the
+    textbook formulation a single-node reference would compute)."""
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    out_deg.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    prev_persisted = None
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(out_deg, ranks["id"] == out_deg["src"], "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        new_ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_ranks
+        ranks = new_ranks
+    out = ranks.select("id", F.round("rank", 6).alias("rank"))
+    for df in (nodes, out_deg, edges):
+        df.unpersist()
+    return out
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """(id, component): min-label propagation over undirected edges —
+    e.g. cluster near-dup pairs so exact-dedup can pick one keeper per
+    cluster. Converges in O(diameter) rounds; stops early when no
+    label changes."""
+    edges = (
+        pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
+        .unionByName(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keepers(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
+    """(id, keep): one keeper (min id) per near-dup cluster; ids with
+    no near-dup pair keep themselves. The last stage of the dedup
+    pipeline: minhash_near_dups → connected_components → keepers."""
+    comp = connected_components(pairs)
+    keepers = comp.groupBy("component").agg(F.min("id").alias("keeper"))
+    with_comp = all_ids.join(comp, "id", "left")
+    return with_comp.join(keepers, "component", "left").select(
+        "id",
+        (F.col("keeper").isNull() | (F.col("keeper") == F.col("id"))).alias("keep"),
+    )

@@ -84,12 +84,26 @@ def q84_media_features(spark, sf):
     )
 
 
+def q85_pagerank(spark, sf):
+    """Iterative PageRank over the crawl's discovered link graph
+    (parent doc → discovered URL), 10 damped iterations. Rows-only:
+    verified against numpy power iteration in tests/test_graph.py."""
+    from ..operators import graph
+
+    frontier = _engine(spark).cat.read("frontier")
+    edges = frontier.filter(F.col("discovered_from").isNotNull()).select(
+        F.col("discovered_from").alias("src"), F.col("url_norm").alias("dst")
+    ).distinct()
+    return graph.pagerank(edges, damping=0.85, iterations=6)
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
     "q82_crawl_docs": q82_crawl_docs,
     "q83_crawl_metrics": q83_crawl_metrics,
     "q84_media_features": q84_media_features,
+    "q85_pagerank": q85_pagerank,
 }
 
 ORACLE: dict[str, str] = {}

@@ -167,6 +167,57 @@ WHERE n_inter / (si.n + sj.n - n_inter) >= 0.5
 """
 
 
+# --- near-dup clustering + keeper selection (iterative op with a
+# --- recursive-CTE oracle) ------------------------------------------------
+
+def q56_dedup_clusters(spark, sf):
+    """Full corpus-dedup pipeline: MinHash+LSH pairs → connected
+    components (iterative min-label propagation) → one keeper per
+    cluster. Oracle replays the clustering with a recursive CTE."""
+    from ..operators import graph
+
+    docs = T(spark, sf, "documents")
+    pairs = dedup.minhash_near_dups(docs, "doc_id", "text", k=2, n_hashes=8,
+                                    bands=4, threshold=0.5)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return graph.dedup_keepers(pairs.select("i", "j"), ids)
+
+
+SQL56 = f"""
+WITH RECURSIVE {SH_CTE}, {SIG_CTE},
+bands AS (
+  SELECT id, j // 2 AS band,
+         string_agg(CAST(minh AS VARCHAR), '#' ORDER BY j) AS bs
+  FROM sig GROUP BY 1, 2),
+bh AS (SELECT id, band, {_H("bs")} AS band_hash FROM bands),
+cand AS (
+  SELECT DISTINCT a.id AS i, b2.id AS j
+  FROM bh a JOIN bh b2
+    ON a.band = b2.band AND a.band_hash = b2.band_hash AND a.id < b2.id),
+inter AS (
+  SELECT c.i, c.j, count(*) AS n_inter
+  FROM cand c JOIN sh a ON a.id = c.i
+              JOIN sh b ON b.id = c.j AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT i, j FROM inter JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+  WHERE n_inter / (si.n + sj.n - n_inter) >= 0.5),
+e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+keepers AS (SELECT component, min(id) AS keeper FROM comp GROUP BY component)
+SELECT d.doc_id AS id,
+       (k.keeper IS NULL OR k.keeper = d.doc_id) AS keep
+FROM documents d
+LEFT JOIN comp c ON c.id = d.doc_id
+LEFT JOIN keepers k ON k.component = c.component
+"""
+
+
 QUERIES = {
     "q50_exact_dedup": q50_exact_dedup,
     "q51_minhash_sig": q51_minhash_sig,
@@ -174,6 +225,7 @@ QUERIES = {
     "q53_simhash": q53_simhash,
     "q54_simhash_pairs": q54_simhash_pairs,
     "q55_chargram_pairs": q55_chargram_pairs,
+    "q56_dedup_clusters": q56_dedup_clusters,
 }
 
 ORACLE = {
@@ -183,4 +235,5 @@ ORACLE = {
     "q53_simhash": SQL53,
     "q54_simhash_pairs": SQL54,
     "q55_chargram_pairs": SQL55,
+    "q56_dedup_clusters": SQL56,
 }
