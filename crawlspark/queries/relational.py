@@ -724,6 +724,34 @@ FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+# --- P18 bucketed co-located anti-join -----------------------------------
+
+def q26_bucketed_antijoin(spark, sf):
+    """The C4 seen-filter against a bucketed managed-table mirror
+    (operators/bucketing.py): at scale the mirror side is never
+    shuffled — plan asserted in tests/test_plans.py; value parity
+    checked here."""
+    from ..operators import bucketing
+
+    early = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderdate") < "1996-01-01")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    bucketing.write_bucketed(early, "orders_early_bucketed", "custkey", 8)
+    cand = T(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    return bucketing.colocated_anti_join(cand, spark, "orders_early_bucketed", ["custkey"])
+
+
+SQL26 = """
+SELECT c_custkey AS custkey FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-01-01')
+"""
+
+
 # --- R2 JSON / CSV scans with explicit schema ----------------------------
 
 _SEED_JSON = "/tmp/crawlspark_seed_scan.jsonl"
@@ -822,6 +850,7 @@ QUERIES = {
     "q23_doc_strings": q23_doc_strings,
     "q24_hash_md5": q24_hash_md5,
     "q25_asof_orders": q25_asof_orders,
+    "q26_bucketed_antijoin": q26_bucketed_antijoin,
     "q27_intersect_nations": q27_intersect_nations,
     "q28_string_funcs": q28_string_funcs,
     "q29_date_funcs": q29_date_funcs,
@@ -861,6 +890,7 @@ ORACLE = {
     "q23_doc_strings": SQL23,
     "q24_hash_md5": SQL24,
     "q25_asof_orders": SQL25,
+    "q26_bucketed_antijoin": SQL26,
     "q27_intersect_nations": SQL27,
     "q28_string_funcs": SQL28,
     "q29_date_funcs": SQL29,
