@@ -53,6 +53,9 @@ class EngineConfig:
     n_salt: int = 8
     bloom_nbits: int = seen.NBITS_DEFAULT
     bloom_k: int = seen.K_DEFAULT
+    # compact append-heavy tables every N cycles (0 = never): bounds
+    # manifest length + small-file count on long crawls
+    compact_every: int = 0
 
 
 class CrawlEngine:
@@ -299,6 +302,13 @@ class CrawlEngine:
             stats.append(st)
             if st["stop"]:
                 break
+            if self.cfg.compact_every and c % self.cfg.compact_every == 0:
+                for table, pby in (
+                    ("frontier", None),
+                    ("url_seen", ["part"]),
+                    ("scheduled", None),
+                ):
+                    self.cat.compact(table, partition_by=pby)
         return stats
 
     # -- verification views ----------------------------------------------------

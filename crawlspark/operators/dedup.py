@@ -132,6 +132,40 @@ def minhash_near_dups(
     return jaccard_verify(cand, sh, threshold)
 
 
+def near_dups_with_exact_prepass(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 2, n_hashes: int = 8, bands: int = 4, threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs with an exact-dup pre-pass — the hot-band skew
+    guard for web-scale corpora.
+
+    Identical documents (very common in crawls: boilerplate, mirrors)
+    all land in the same LSH band buckets, turning the band self-join
+    quadratic in the duplicate count. The pre-pass collapses each
+    exact-text group to one representative (min id) BEFORE shingling,
+    so a 10^6-copy boilerplate cluster costs 10^6 rows of exact
+    hash-groupBy (linear) instead of 10^12 candidate pairs.
+
+    Output pairs (i < j): exact-dup members paired to their
+    representative, plus representative-level LSH near-dup pairs —
+    together they generate the same connected components as running
+    plain LSH on the full corpus (every member is jaccard-1.0 with its
+    representative)."""
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).withColumn("tkey", md5hash60("text"))
+    w = Window.partitionBy("tkey")
+    marked = keyed.withColumn("rep", F.min("id").over(w))
+    exact_pairs = (
+        marked.filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("i"), F.col("id").alias("j"), F.lit(1.0).alias("jac"))
+    )
+    reps = marked.filter(F.col("id") == F.col("rep")).select("id", "text")
+    rep_pairs = minhash_near_dups(reps, "id", "text", k, n_hashes, bands, threshold)
+    out = exact_pairs.unionByName(rep_pairs)
+    return out
+
+
 # -- SimHash ---------------------------------------------------------------
 
 def simhash(

@@ -724,6 +724,74 @@ FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+# --- TPC-H Q3 shape: 3-way join + filter + grouped top-k -----------------
+
+def q38_shipping_priority(spark, sf):
+    c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    rev = j.groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+SQL38 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# --- TPC-H Q5 shape: 6-way join with correlated nation filter ------------
+
+def q39_local_supplier_volume(spark, sf):
+    r = T(spark, sf, "region")
+    n = T(spark, sf, "nation")
+    c = T(spark, sf, "customer")
+    s = T(spark, sf, "supplier")
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL39 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
 # --- P18 bucketed co-located anti-join -----------------------------------
 
 def q26_bucketed_antijoin(spark, sf):
@@ -859,6 +927,8 @@ QUERIES = {
     "q32_conditionals": q32_conditionals,
     "q33_grouping_sets": q33_grouping_sets,
     "q34_approx_distinct": q34_approx_distinct,
+    "q38_shipping_priority": q38_shipping_priority,
+    "q39_local_supplier_volume": q39_local_supplier_volume,
     "q35_json_scan": q35_json_scan,
     "q36_csv_scan": q36_csv_scan,
     "q37_sample": q37_sample,
@@ -898,6 +968,8 @@ ORACLE = {
     "q31_map_funcs": SQL31,
     "q32_conditionals": SQL32,
     "q33_grouping_sets": SQL33,
+    "q38_shipping_priority": SQL38,
+    "q39_local_supplier_volume": SQL39,
     "q35_json_scan": SQL35,
     "q36_csv_scan": SQL36,
 }

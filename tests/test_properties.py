@@ -185,3 +185,50 @@ def test_mega_host_salt_spread(spark):
     n_salts = mega.select("host_salt").distinct().count()
     assert n > 50, n
     assert n_salts >= 4, (n, n_salts)  # mega-host fan-out is salted
+
+
+# -- exact-dup pre-pass (hot-band skew guard) ------------------------------
+
+def test_exact_prepass_equivalent_clusters(spark):
+    from pyspark.sql import Row
+
+    from crawlspark.operators import graph
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # inject 40 exact copies of doc 0's text (boilerplate cluster)
+    base_text = docs.filter("doc_id = 0").collect()[0]["text"]
+    copies = spark.createDataFrame(
+        [Row(doc_id=100000 + i, text=base_text) for i in range(40)]
+    )
+    corpus = docs.select("doc_id", "text").unionByName(copies)
+
+    plain = dedup.minhash_near_dups(corpus, "doc_id", "text", threshold=0.5)
+    pre = dedup.near_dups_with_exact_prepass(corpus, "doc_id", "text", threshold=0.5)
+
+    # candidate explosion: plain pays ~40^2/2 pairs for the clone
+    # cluster, pre-pass pays 40 (one per member)
+    n_plain_clone = plain.filter("i >= 100000 or j >= 100000 or i = 0 or j = 0").count()
+    n_pre_clone = pre.filter("i >= 100000 or j >= 100000 or i = 0 or j = 0").count()
+    assert n_pre_clone <= 60 < n_plain_clone
+
+    # same connected components (the dedup-relevant invariant)
+    ids = corpus.select(F.col("doc_id").alias("id"))
+    ka = graph.dedup_keepers(plain.select("i", "j"), ids)
+    kb = graph.dedup_keepers(pre.select("i", "j"), ids)
+    assert sorted(map(tuple, ka.collect())) == sorted(map(tuple, kb.collect()))
+
+
+# -- auto-compaction keeps semantics ---------------------------------------
+
+def test_engine_auto_compaction(spark):
+    wh1, wh2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    e1 = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=wh1))
+    e1.run()
+    e2 = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=wh2, compact_every=2))
+    e2.run()
+    a = [tuple(r) for r in e1.crawl_order().select("cycle_id", "batch_pos", "url_norm").collect()]
+    b = [tuple(r) for r in e2.crawl_order().select("cycle_id", "batch_pos", "url_norm").collect()]
+    assert a == b
+    assert len(e2.cat.current_snapshot()["tables"]["frontier"]) < len(
+        e1.cat.current_snapshot()["tables"]["frontier"]
+    )
