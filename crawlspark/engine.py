@@ -258,27 +258,34 @@ class CrawlEngine:
         )
 
         txn = self.cat.begin()
-        txn.append("frontier", novel_rows.select(*FRONTIER_COLS))
-        txn.append(
-            "scheduled",
-            batch.select(
-                F.lit(c).cast("long").alias("cycle_id"), "batch_pos",
-                "url_norm", "url_hash", "host", "host_salt", "score", "seq", "depth",
-            ),
+        txn.stage_all(
+            [
+                ("append", "frontier", novel_rows.select(*FRONTIER_COLS), None),
+                (
+                    "append",
+                    "scheduled",
+                    batch.select(
+                        F.lit(c).cast("long").alias("cycle_id"), "batch_pos",
+                        "url_norm", "url_hash", "host", "host_salt", "score", "seq", "depth",
+                    ),
+                    None,
+                ),
+                ("append", "documents", docs.select("doc_id", "fetch_cycle", "host", "spans"), None),
+                (
+                    "append",
+                    "url_seen",
+                    novel_rows.select(
+                        "url_hash", "url_norm",
+                        F.lit(c).cast("long").alias("first_cycle"), "part",
+                    ),
+                    ["part"],
+                ),
+                ("overwrite", "bloom_seen", bloom_new, None),
+                ("overwrite", "host_state", hs_new, None),
+                ("append", "fetch_log", fetch_log, None),
+                ("append", "metrics", metrics.unionByName(m_wall), None),
+            ]
         )
-        txn.append("documents", docs.select("doc_id", "fetch_cycle", "host", "spans"))
-        txn.append(
-            "url_seen",
-            novel_rows.select(
-                "url_hash", "url_norm",
-                F.lit(c).cast("long").alias("first_cycle"), "part",
-            ),
-            partition_by=["part"],
-        )
-        txn.overwrite("bloom_seen", bloom_new)
-        txn.overwrite("host_state", hs_new)
-        txn.append("fetch_log", fetch_log)
-        txn.append("metrics", metrics.unionByName(m_wall))
         txn.commit(cycle_id=c, meta={"scheduled": n_sched, "discovered": n_novel})
 
         for df in (batch, docs, cand, novel_rows):
