@@ -37,7 +37,7 @@ from .operators import fetch as fetch_ops
 from .operators import politeness, schedule, seen
 from .schemas import METRICS
 from .synth import GraphConfig
-from .urlnorm import canonicalize_udf, with_url_parts
+from .urlnorm import canonicalize_udf, resolve_canonicalize_udf, with_url_parts
 
 FRONTIER_COLS = [
     "url_norm", "url_hash", "host", "host_salt", "depth",
@@ -170,8 +170,10 @@ class CrawlEngine:
         batch_exec = batch.repartition(self.spark.sparkContext.defaultParallelism)
         docs = fetch_ops.fetch_batch(batch_exec, g, c).persist()
         links = fetch_ops.extract_links(docs)
+        # resolve relative hrefs against the fetching doc (urljoin
+        # semantics), then canonicalize — one Arrow pass (C13 → C1)
         cand = (
-            links.withColumn("url_norm", canonicalize_udf("raw_url"))
+            links.withColumn("url_norm", resolve_canonicalize_udf("doc_id", "raw_url"))
             .filter(F.col("url_norm").isNotNull())
             .drop("raw_url")
             .withColumn("depth", (F.col("depth") + 1).cast("int"))

@@ -117,13 +117,19 @@ class GraphConfig:
             out.append(self.page_url(ti, tj))
         return out
 
-    def messy_url(self, canonical: str, i: int, j: int, k: int) -> str:
-        """A deterministic non-canonical variant; canonicalize() restores it."""
-        v = h64(self.seed, "messy", i, j, k) % 5
+    def messy_url(self, canonical: str, i: int, j: int, k: int,
+                  allow_relative: bool = True) -> str:
+        """A deterministic non-canonical variant; resolve (against the
+        (i,j) page) + canonicalize restores it. Variant 5 is an
+        absolute-path *relative reference* (href="/p7") when the target
+        is same-host — the reference-crawler urljoin path."""
+        v = h64(self.seed, "messy", i, j, k) % 6
         scheme, rest = canonical.split("://", 1)
         host, _, path = rest.partition("/")
         path = "/" + path
-        if v == 0:
+        if v == 5 and allow_relative and host == self.host(i):
+            return path
+        if v in (0, 5):
             return canonical
         if v == 1:
             return f"{scheme}://{host.upper()}{path}#frag-{k}"
@@ -166,9 +172,11 @@ class GraphConfig:
     # -- seed list -----------------------------------------------------------
 
     def seeds(self) -> list[str]:
-        """Messy seed URLs (pages 0..seeds_per_site-1 per site), site-major."""
+        """Messy seed URLs (pages 0..seeds_per_site-1 per site),
+        site-major; always absolute (seeds have no base to resolve
+        against)."""
         return [
-            self.messy_url(self.page_url(i, j), i, j, 999)
+            self.messy_url(self.page_url(i, j), i, j, 999, allow_relative=False)
             for i in range(self.n_sites)
             for j in range(min(self.seeds_per_site, self.pages_in_site(i)))
         ]

@@ -203,6 +203,40 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return canonicalize_series(urls)
 
 
+# -- relative link resolution (RFC 3986 §5) --------------------------------
+
+_ABS = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def resolve_one(base: str, href: str) -> str:
+    """urljoin semantics — the reference-crawler behavior for hrefs."""
+    from urllib.parse import urljoin
+
+    try:
+        return urljoin(base, href)
+    except ValueError:
+        return href
+
+
+def resolve_series(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """Vectorized resolve: absolute hrefs (the common case in link
+    graphs) pass through untouched; scheme-relative and relative ones
+    fall back to per-row urljoin. Property-tested == urljoin."""
+    is_abs = hrefs.str.match(_ABS).fillna(False)
+    out = hrefs.copy()
+    rel = ~is_abs
+    if rel.any():
+        out[rel] = [resolve_one(b, h) for b, h in zip(bases[rel], hrefs[rel])]
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def resolve_canonicalize_udf(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """One Arrow pass: resolve against the fetching document's URL,
+    then canonicalize (C13 → C1)."""
+    return canonicalize_series(resolve_series(bases, hrefs))
+
+
 def with_url_parts(df, url_col: str = "url_norm"):
     """Attach host/path (JVM-side parse_url) + xxhash64 (C2/C3)."""
     return (

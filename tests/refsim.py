@@ -16,7 +16,7 @@ scheduling / dedup / politeness dataflow.
 from __future__ import annotations
 
 import math
-from urllib.parse import urlsplit
+from urllib.parse import urljoin, urlsplit
 
 from crawlspark.synth import GraphConfig, extract_links_from_text, robots_allowed
 from crawlspark.urlnorm import canonicalize_one
@@ -41,9 +41,9 @@ class RefSim:
         docs: dict[str, tuple[int, list[dict]]] = {}
         seq = 0
 
-        def admit(raw: str, depth: int, cycle: int) -> None:
+        def admit(raw: str, depth: int, cycle: int, base: str | None = None) -> None:
             nonlocal seq
-            u = canonicalize_one(raw)
+            u = canonicalize_one(urljoin(base, raw) if base else raw)
             if u is None:
                 return
             sp = urlsplit(u)
@@ -92,5 +92,5 @@ class RefSim:
                 for span in spans:
                     if span["kind"] == "text":
                         for raw in extract_links_from_text(span["text"]):
-                            admit(raw, depth + 1, c)
+                            admit(raw, depth + 1, c, base=u)
         return order, seen, docs

@@ -78,3 +78,32 @@ def test_idempotent_fuzz(u):
     c = canonicalize_one(u)
     if c is not None:
         assert canonicalize_one(c) == c
+
+
+def test_resolve_series_equals_urljoin():
+    from urllib.parse import urljoin
+
+    from crawlspark.urlnorm import resolve_series
+
+    bases = ["http://a.com/x/y", "http://a.com/x/", "https://b.org/p?q=1"]
+    hrefs = ["/abs/path", "rel", "../up", "http://other.com/z", "//cdn.com/a",
+             "#frag", "?q=2", "p2", ""]
+    B, H = [], []
+    for b in bases:
+        for h in hrefs:
+            B.append(b); H.append(h)
+    got = resolve_series(pd.Series(B), pd.Series(H)).tolist()
+    want = [urljoin(b, h) for b, h in zip(B, H)]
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abc019./:?#&=%~-", min_size=0, max_size=25))
+def test_resolve_fuzz(href):
+    from urllib.parse import urljoin
+
+    from crawlspark.urlnorm import resolve_series
+
+    base = "http://site.example.com/dir/page"
+    got = resolve_series(pd.Series([base]), pd.Series([href])).iloc[0]
+    assert got == urljoin(base, href)
