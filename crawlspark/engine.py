@@ -148,11 +148,24 @@ class CrawlEngine:
         host_state = self.cat.read("host_state", snap)
         hc = self.cat.read("host_config", snap)
 
-        # QUEUED = discovered but never scheduled (append-only logs; the
-        # Iceberg upgrade path is MERGE INTO state flips).
-        queued = frontier.join(
-            scheduled_log.select("url_hash", "url_norm"),
-            ["url_hash", "url_norm"], "left_anti",
+        # QUEUED = discovered, not yet fetched OK, retries not exhausted
+        # (append-only logs; the Iceberg upgrade path is MERGE INTO
+        # state flips). A failed attempt re-queues with its original
+        # (score, seq) — the batch TTR-re-release analogue.
+        keys = ["url_hash", "url_norm"]
+        succeeded = scheduled_log.filter(F.col("ok")).select(*keys)
+        fail_counts = (
+            scheduled_log.filter(~F.col("ok"))
+            .groupBy(*keys)
+            .agg(F.count("*").alias("n_fail"))
+        )
+        exhausted = fail_counts.filter(F.col("n_fail") >= g.max_retries).select(*keys)
+        queued = (
+            frontier.join(succeeded, keys, "left_anti")
+            .join(exhausted, keys, "left_anti")
+            .join(fail_counts, keys, "left")
+            .withColumn("attempt", (F.coalesce("n_fail", F.lit(0)) + 1).cast("int"))
+            .drop("n_fail")
         )
 
         hs_ref = politeness.refill_tokens(host_state, hc)  # host, tokens_refilled, cap
@@ -169,7 +182,11 @@ class CrawlEngine:
         # Arrow-UDF fetch stage or fetch/canonicalize serialize on one core.
         batch_exec = batch.repartition(self.spark.sparkContext.defaultParallelism)
         docs = fetch_ops.fetch_batch(batch_exec, g, c).persist()
-        links = fetch_ops.extract_links(docs)
+        docs_ok = docs.filter(F.col("ok"))
+        n_docs = docs_ok.count()
+        # attempt outcomes back onto the batch metadata (1:1 on url_norm)
+        sched_rows = batch.join(docs.select("url_norm", "ok"), "url_norm").persist()
+        links = fetch_ops.extract_links(docs_ok)
         # resolve relative hrefs against the fetching doc (urljoin
         # semantics), then canonicalize — one Arrow pass (C13 → C1)
         cand = (
@@ -217,7 +234,7 @@ class CrawlEngine:
             F.lit(c).cast("long").alias("cycle_id"),
             F.xxhash64("doc_id").alias("url_hash"),
             "host",
-            F.lit(200).alias("status"),
+            F.when(F.col("ok"), 200).otherwise(503).alias("status"),
             F.timestamp_seconds(F.lit(1704067200) + F.lit(c)).alias("fetched_at"),
             fetch_ops.doc_bytes_col().alias("bytes"),
         )
@@ -230,7 +247,7 @@ class CrawlEngine:
                 "host_salt",
                 *[
                     F.lit(1 if name == col else 0).alias(name)
-                    for name in ("t_in", "t_sched", "t_cand", "t_novel")
+                    for name in ("t_in", "t_sched", "t_cand", "t_novel", "t_docs")
                 ],
             )
 
@@ -239,24 +256,26 @@ class CrawlEngine:
             .unionByName(tag(batch, "t_sched"))
             .unionByName(tag(cand, "t_cand"))
             .unionByName(tag(novel_rows, "t_novel"))
+            .unionByName(tag(sched_rows.filter(F.col("ok")), "t_docs"))
         )
         metrics = tagged.groupBy("host_salt").agg(
             F.sum("t_in").alias("s_in"),
             F.sum("t_sched").alias("s_sched"),
             F.sum("t_cand").alias("s_cand"),
             F.sum("t_novel").alias("s_novel"),
+            F.sum("t_docs").alias("s_docs"),
         ).select(
             F.lit(c).cast("long").alias("cycle_id"),
             F.col("host_salt").alias("part"),
             F.col("s_in").cast("long").alias("urls_in"),
             (F.col("s_cand") - F.col("s_novel")).cast("long").alias("urls_deduped"),
             F.col("s_sched").cast("long").alias("urls_scheduled"),
-            F.col("s_sched").cast("long").alias("docs_written"),
+            F.col("s_docs").cast("long").alias("docs_written"),
             F.lit(0).cast("long").alias("wall_ms"),
         )
         wall_ms = int((time.time() - t0) * 1000)
         m_wall = self.spark.createDataFrame(
-            [(c, -1, 0, n_cand - n_novel, n_sched, n_sched, wall_ms)], METRICS
+            [(c, -1, 0, n_cand - n_novel, n_sched, n_docs, wall_ms)], METRICS
         )
 
         txn = self.cat.begin()
@@ -266,13 +285,15 @@ class CrawlEngine:
                 (
                     "append",
                     "scheduled",
-                    batch.select(
+                    sched_rows.select(
                         F.lit(c).cast("long").alias("cycle_id"), "batch_pos",
-                        "url_norm", "url_hash", "host", "host_salt", "score", "seq", "depth",
+                        "url_norm", "url_hash", "host", "host_salt", "score", "seq",
+                        "depth", "attempt", "ok",
                     ),
                     None,
                 ),
-                ("append", "documents", docs.select("doc_id", "fetch_cycle", "host", "spans"), None),
+                ("append", "documents",
+                 docs.filter(F.col("ok")).select("doc_id", "fetch_cycle", "host", "spans"), None),
                 (
                     "append",
                     "url_seen",
@@ -290,7 +311,7 @@ class CrawlEngine:
         )
         txn.commit(cycle_id=c, meta={"scheduled": n_sched, "discovered": n_novel})
 
-        for df in (batch, docs, cand, novel_rows):
+        for df in (batch, docs, cand, novel_rows, sched_rows):
             df.unpersist()
         schedule.release_scratch()
         return {
@@ -323,7 +344,8 @@ class CrawlEngine:
     # -- verification views ----------------------------------------------------
 
     def crawl_order(self) -> DataFrame:
-        """The crawl-ordering contract: scheduled URLs in execution order."""
+        """The crawl-ordering contract: fetch attempts in execution
+        order, with attempt number and outcome."""
         return self.cat.read("scheduled").orderBy("cycle_id", "batch_pos")
 
     def seen_set(self) -> DataFrame:

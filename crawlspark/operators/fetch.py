@@ -28,19 +28,34 @@ HREF_PATTERN = r'href="([^"]+)"'
 
 
 def fetch_batch(batch: DataFrame, cfg: GraphConfig, cycle_id: int) -> DataFrame:
-    """C12: batch(url_norm, host, depth, batch_pos, ...) → documents
-    with interleaved text+media spans (input_hint shape)."""
-    in_schema = batch.select("url_norm", "host", "depth", "batch_pos").schema
-    out_schema = T.StructType(list(in_schema) + [T.StructField("spans", T.ArrayType(SPAN), False)])
+    """C12: batch(url_norm, host, depth, batch_pos, attempt) → one row
+    per fetch ATTEMPT: ok + interleaved text+media spans on success
+    (input_hint shape), empty spans on a failed attempt (the
+    deterministic failure model in GraphConfig.fetch_ok — the
+    at-least-once/TTR analogue)."""
+    in_schema = batch.select("url_norm", "host", "depth", "batch_pos", "attempt").schema
+    out_schema = T.StructType(
+        list(in_schema)
+        + [
+            T.StructField("ok", T.BooleanType(), False),
+            T.StructField("spans", T.ArrayType(SPAN), False),
+        ]
+    )
 
     def fetcher(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            spans = [
-                cfg.page_spans(*cfg.url_to_page(u)) for u in pdf["url_norm"]
-            ]
-            yield pdf.assign(spans=spans)
+            oks, spans = [], []
+            for u, attempt in zip(pdf["url_norm"], pdf["attempt"]):
+                i, j = cfg.url_to_page(u)
+                if cfg.fetch_ok(i, j, int(attempt)):
+                    oks.append(True)
+                    spans.append(cfg.page_spans(i, j))
+                else:
+                    oks.append(False)
+                    spans.append([])
+            yield pdf.assign(ok=oks, spans=spans)
 
-    docs = batch.select("url_norm", "host", "depth", "batch_pos").mapInPandas(
+    docs = batch.select("url_norm", "host", "depth", "batch_pos", "attempt").mapInPandas(
         fetcher, schema=out_schema
     )
     return docs.withColumn("fetch_cycle", F.lit(cycle_id).cast("long")).withColumn(

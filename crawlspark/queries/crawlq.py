@@ -34,7 +34,7 @@ def _engine(spark) -> CrawlEngine:
 def q80_crawl_order(spark, sf):
     """The crawl-ordering contract: scheduled URLs in execution order."""
     return _engine(spark).crawl_order().select(
-        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score", "seq", "depth"
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score", "seq", "depth", "attempt", "ok"
     )
 
 

@@ -45,7 +45,8 @@ FRONTIER = T.StructType(
     ]
 )
 
-# Append-only schedule log; QUEUED = frontier ANTI-JOIN scheduled.
+# Append-only schedule log (one row per fetch ATTEMPT; `ok` records the
+# outcome). QUEUED = frontier ANTI succeeded ANTI retry-exhausted.
 SCHEDULED = T.StructType(
     [
         T.StructField("cycle_id", T.LongType(), False),
@@ -57,6 +58,8 @@ SCHEDULED = T.StructType(
         T.StructField("score", T.LongType(), False),
         T.StructField("seq", T.LongType(), False),
         T.StructField("depth", T.IntegerType(), False),
+        T.StructField("attempt", T.IntegerType(), False),
+        T.StructField("ok", T.BooleanType(), False),
     ]
 )
 

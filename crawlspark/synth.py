@@ -49,6 +49,8 @@ class GraphConfig:
     token_mult: int = 1
     # seed list density (pages 0..s-1 of every site)
     seeds_per_site: int = 1
+    # fetch attempts per URL before giving up (TTR analogue)
+    max_retries: int = 3
 
     # -- topology ----------------------------------------------------------
 
@@ -85,6 +87,21 @@ class GraphConfig:
                 {"allow": True, "prefix": "/"},
             ]
         return [{"allow": True, "prefix": "/"}]
+
+    # -- fetch failures (the TTR / at-least-once analogue) -------------------
+
+    def fetch_failures(self, i: int, j: int) -> int:
+        """Number of leading attempts that fail for page (i,j):
+        ~1/6 of pages fail once, ~1/36 twice, then succeed."""
+        h = h64(self.seed, "fail", i, j)
+        if h % 36 == 1:
+            return 2
+        if h % 6 == 0:
+            return 1
+        return 0
+
+    def fetch_ok(self, i: int, j: int, attempt: int) -> bool:
+        return attempt > self.fetch_failures(i, j)
 
     # -- pages ---------------------------------------------------------------
 

@@ -37,8 +37,10 @@ class RefSim:
 
         seen: dict[str, int] = {}          # url_norm -> first_cycle
         queued: dict[str, tuple] = {}      # url_norm -> (score, seq, depth, host)
-        order: list[tuple[int, int, str]] = []  # (cycle, pos, url_norm)
+        order: list[tuple[int, int, str, int, bool]] = []  # (cycle, pos, url, attempt, ok)
         docs: dict[str, tuple[int, list[dict]]] = {}
+        attempts: dict[str, int] = {}      # url_norm -> failed attempts so far
+        max_retries = cfg.max_retries
         seq = 0
 
         def admit(raw: str, depth: int, cycle: int, base: str | None = None) -> None:
@@ -77,16 +79,27 @@ class RefSim:
             ):
                 if allow[host] > 0:
                     allow[host] -= 1
-                    batch.append((u, depth, host))
+                    batch.append((u, score, s, depth, host))
                     if len(batch) == cfg.batch_size:
                         break
             if not batch:
                 break
-            for pos, (u, depth, host) in enumerate(batch, 1):
+            for pos, (u, score, s, depth, host) in enumerate(batch, 1):
                 del queued[u]
                 tokens[host] -= 1
-                order.append((c, pos, u))
                 i, j = cfg.url_to_page(u)
+                attempt = attempts.get(u, 0) + 1
+                ok = cfg.fetch_ok(i, j, attempt)
+                order.append((c, pos, u, attempt, ok))
+                if not ok:
+                    # TTR analogue: the attempt consumed a token and a
+                    # batch slot; the URL re-queues with its ORIGINAL
+                    # (score, seq) — FIFO position preserved — unless
+                    # retries are exhausted
+                    attempts[u] = attempt
+                    if attempt < max_retries:
+                        queued[u] = (score, s, depth, host)
+                    continue
                 spans = cfg.page_spans(i, j)
                 docs[u] = (c, spans)
                 for span in spans:

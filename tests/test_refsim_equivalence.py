@@ -24,10 +24,11 @@ def run_pair(spark, tmp_path_factory):
 def test_crawl_ordering_identical(run_pair):
     eng, ref_order, _, _ = run_pair
     got = [
-        (r["cycle_id"], r["batch_pos"], r["url_norm"])
+        (r["cycle_id"], r["batch_pos"], r["url_norm"], r["attempt"], r["ok"])
         for r in eng.crawl_order().collect()
     ]
     assert len(got) > 0
+    assert any(not ok for *_, ok in got), "failure model should fire"
     assert got == ref_order
 
 
@@ -65,7 +66,7 @@ def test_deterministic_across_parallelism(spark, tmp_path_factory, run_pair):
         eng2 = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=str(wh)))
         eng2.run()
         got = [
-            (r["cycle_id"], r["batch_pos"], r["url_norm"])
+            (r["cycle_id"], r["batch_pos"], r["url_norm"], r["attempt"], r["ok"])
             for r in eng2.crawl_order().collect()
         ]
         assert got == ref_order
@@ -87,7 +88,7 @@ def test_equivalence_at_t2_scale(spark, tmp_path_factory):
     ref_order, ref_seen, ref_docs = RefSim(g).run()
 
     got_order = [
-        (r["cycle_id"], r["batch_pos"], r["url_norm"])
+        (r["cycle_id"], r["batch_pos"], r["url_norm"], r["attempt"], r["ok"])
         for r in eng.crawl_order().collect()
     ]
     assert len(got_order) > 200
