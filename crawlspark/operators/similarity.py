@@ -102,10 +102,15 @@ def ann_topk(
     queries: DataFrame, corpus: DataFrame, spark: SparkSession,
     k: int, n_planes: int = 6, seed: int = 7,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
-    exact cosine re-rank. Queries with an empty bucket return fewer
-    than k rows (multi-probe is the recall lever — TODO)."""
+    exact cosine re-rank.
+
+    multiprobe=True probes the query's bucket plus its n_planes 1-bit
+    neighbors (the sign most likely to be wrong for a near neighbor is
+    one projection) — candidate cost ×(P+1), recall close to brute
+    force; still ≪ all-pairs."""
     planes = hyperplane_coefs(spark, n_planes, dim, seed)
     allv = queries.unionByName(corpus).dropDuplicates([id_col])
     buckets = lsh_buckets(allv, planes, n_planes, id_col, vec_col)
@@ -113,11 +118,21 @@ def ann_topk(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
         .join(buckets.withColumnRenamed("id", "q_id"), "q_id")
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.expr(f"CAST(bucket AS BIGINT) ^ CAST({1 << p} AS BIGINT)") for p in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     n = (
         corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
         .join(buckets.withColumnRenamed("id", "n_id"), "n_id")
     )
-    cand = q.join(n, "bucket").filter(F.col("q_id") != F.col("n_id"))
+    cand = (
+        q.join(n, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
         cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))

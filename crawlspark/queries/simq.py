@@ -90,12 +90,67 @@ SELECT q_id, n_id, rnk, round(c, 6) AS cos FROM r WHERE rnk <= 3
 """
 
 
+def q62_ann_multiprobe(spark, sf):
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    return similarity.ann_topk(
+        q, corpus, spark, k=3, n_planes=6, seed=7, dim=64, multiprobe=True
+    )
+
+
+_PROBES = ", ".join(
+    f"xor(bucket, CAST({1 << p} AS BIGINT))" for p in range(6)
+)
+
+SQL62 = f"""
+WITH planes AS (
+  SELECT p, d, ({_H("CAST(7 AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 2001 - 1000) / 1000.0 AS coef
+  FROM UNNEST(generate_series(0, 5)) AS tp(p),
+       UNNEST(generate_series(0, 63)) AS td(d)),
+comp AS (
+  SELECT vec_id AS id, i - 1 AS d, embedding[i] AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+proj AS (
+  SELECT id, p, sum(CAST(x AS DOUBLE) * coef) AS proj
+  FROM comp JOIN planes USING (d) GROUP BY id, p),
+buckets AS (
+  SELECT id, sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY id),
+qb AS (
+  SELECT e.vec_id AS q_id, b.bucket
+  FROM embeddings e JOIN buckets b ON b.id = e.vec_id WHERE e.vec_id < 10),
+qp AS (
+  SELECT q_id, unnest([bucket, {_PROBES}]) AS bucket FROM qb),
+nb AS (
+  SELECT e.vec_id AS n_id, b.bucket
+  FROM embeddings e JOIN buckets b ON b.id = e.vec_id WHERE e.vec_id >= 10),
+cand AS (
+  SELECT DISTINCT qp.q_id, nb.n_id FROM qp JOIN nb USING (bucket)
+  WHERE qp.q_id != nb.n_id),
+scored AS (
+  SELECT c.q_id, c.n_id,
+         {_dot('eq.embedding', 'en.embedding')}
+         / (sqrt({_dot('eq.embedding', 'eq.embedding')}) * sqrt({_dot('en.embedding', 'en.embedding')})) AS c
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.q_id
+  JOIN embeddings en ON en.vec_id = c.n_id),
+r AS (
+  SELECT q_id, n_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id ASC) AS rnk
+  FROM scored)
+SELECT q_id, n_id, rnk, round(c, 6) AS cos FROM r WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "q60_cosine_topk": q60_cosine_topk,
     "q61_ann_lsh": q61_ann_lsh,
+    "q62_ann_multiprobe": q62_ann_multiprobe,
 }
 
 ORACLE = {
     "q60_cosine_topk": SQL60,
     "q61_ann_lsh": SQL61,
+    "q62_ann_multiprobe": SQL62,
 }

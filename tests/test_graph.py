@@ -88,3 +88,31 @@ def test_dedup_keepers_on_planted_dups(spark):
     for r in pairs.collect():
         assert r["j"] in dropped or r["i"] in dropped
     keep.unpersist()
+
+
+def test_multiprobe_improves_recall(spark):
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 30)
+    corpus = e.filter(F.col("vec_id") >= 30)
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in similarity.brute_topk(q, corpus, k=3).collect()
+    }
+    single = {
+        (r["q_id"], r["n_id"])
+        for r in similarity.ann_topk(q, corpus, spark, k=3).collect()
+    }
+    multi = {
+        (r["q_id"], r["n_id"])
+        for r in similarity.ann_topk(q, corpus, spark, k=3, multiprobe=True).collect()
+    }
+    r_single = len(single & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    # random (unclustered) embeddings bound achievable LSH recall; the
+    # invariant is that probing 1-bit neighbors strictly helps
+    assert r_multi > r_single, (r_single, r_multi)
+    assert r_multi >= 0.25, (r_single, r_multi)
