@@ -232,3 +232,33 @@ def test_engine_auto_compaction(spark):
     assert len(e2.cat.current_snapshot()["tables"]["frontier"]) < len(
         e1.cat.current_snapshot()["tables"]["frontier"]
     )
+
+
+# -- query-surface determinism across shuffle partitionings ----------------
+
+def test_queries_deterministic_across_partitioning(spark):
+    """The driver hash-compares query output values; any
+    partitioning-dependent nondeterminism (float agg order past the
+    rounding guard, unstable window ties) would flake the gate. Run a
+    representative slice at two shuffle widths and compare exactly."""
+    from crawlspark.queries import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.01"
+    names = [
+        "q01_pricing_summary", "q12_top_orders_per_cust", "q17_vector_stats",
+        "q22_sessionize", "q25_asof_orders", "q51_minhash_sig",
+        "q53_simhash", "q60_cosine_topk",
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    for width in ("7", old):
+        spark.conf.set("spark.sql.shuffle.partitions", width)
+        try:
+            results[width] = {
+                n: sorted(map(tuple, qs[n](spark, sf).collect())) for n in names
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert results["7"][n] == results[old][n], n
