@@ -21,6 +21,14 @@ from . import crawlq, dedupq, relational, simq, streamq, textq
 _MODULES = [relational, textq, dedupq, simq, streamq, crawlq]
 
 
+def pin_session(spark) -> None:
+    """Pin the runtime confs the oracle comparison depends on — the
+    driver runs queries in ITS session, which may not share ours:
+    UTC (timestamp formatting parity with DuckDB) and Arrow batching."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def all_queries():
     out = {}
     for m in _MODULES:

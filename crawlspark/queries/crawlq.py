@@ -22,6 +22,9 @@ _ENGINE_CACHE: dict[str, CrawlEngine] = {}
 
 
 def _engine(spark) -> CrawlEngine:
+    from . import pin_session
+
+    pin_session(spark)
     key = "unit"
     if key not in _ENGINE_CACHE:
         wh = tempfile.mkdtemp(prefix="crawlspark-q-")

@@ -14,6 +14,9 @@ from ..operators.asof import asof_join_backward
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from . import pin_session
+
+    pin_session(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

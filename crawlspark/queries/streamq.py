@@ -32,6 +32,9 @@ def _events_dir(sf: str) -> str:
 def q90_stream_window_rates(spark, sf):
     """S1+S2+S3 end-to-end: file-source stream over the events parquet,
     watermarked 6-hour tumbling windows, availableNow to completion."""
+    from . import pin_session
+
+    pin_session(spark)
     name = f"q90_sink_{next(_COUNTER)}"
     stream = S.file_stream(spark, _events_dir(sf), S.EVENTS_SCHEMA)
     agg = S.windowed_rates(stream, window="6 hours", watermark="1 hour")
@@ -61,6 +64,9 @@ FROM events GROUP BY 1, 2
 def q91_stream_sessions(spark, sf):
     """S4: session windows (30-min gap) to completion; compared against
     the DuckDB lag+cumsum batch formulation of the same sessions."""
+    from . import pin_session
+
+    pin_session(spark)
     name = f"q91_sink_{next(_COUNTER)}"
     stream = S.file_stream(spark, _events_dir(sf), S.EVENTS_SCHEMA)
     agg = S.session_counts(stream, gap="30 minutes")
