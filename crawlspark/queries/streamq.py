@@ -109,9 +109,51 @@ FROM p GROUP BY user_id
 """
 
 
+def q92_stream_token_buckets(spark, sf):
+    """S5: custom stateful streaming op — per-host crawl-delay token
+    buckets via applyInPandasWithState, one micro-batch per source
+    file so state carries across batches. Rows-only (stateful
+    semantics aren't SQL-expressible; invariants property-tested in
+    tests/test_streaming.py)."""
+    from . import pin_session
+
+    pin_session(spark)
+    import os
+
+    multi = f"/tmp/crawlspark_stream_multi_{sf.strip('/').replace('/', '_')}"
+    if not os.path.exists(f"{multi}/_SUCCESS"):
+        spark.read.parquet(f"{sf}/events.parquet").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(multi)
+    name = f"q92_sink_{next(_COUNTER)}"
+    stream = S.file_stream(spark, multi, S.EVENTS_SCHEMA, max_files_per_trigger=1)
+    reqs = stream.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host")
+    )
+    out = S.token_bucket_stream(reqs, capacity=64.0, refill=32.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("host")
+        .agg(
+            F.sum("requested").alias("total_requested"),
+            F.sum("allowed").alias("total_allowed"),
+            F.count("*").alias("n_batches"),
+        )
+    )
+
+
 QUERIES = {
     "q90_stream_window_rates": q90_stream_window_rates,
     "q91_stream_sessions": q91_stream_sessions,
+    "q92_stream_token_buckets": q92_stream_token_buckets,
 }
 
 ORACLE = {
