@@ -48,7 +48,10 @@ contrib AS (
   FROM toks, UNNEST(generate_series(0, 47)) AS t(b)
   GROUP BY id, b),
 fps AS (
-  SELECT id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS fp
+  -- CAST: DuckDB sum(BIGINT) widens to HUGEINT; Spark's sum stays LONG.
+  -- The driver's value-hash is representation-sensitive (r1 q53 failed on
+  -- hash with identical values), so pin the output type to BIGINT.
+  SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
   FROM contrib GROUP BY id)
 """
 

@@ -90,7 +90,20 @@ def main():
             continue
         s_canon, s_sorted_cols = canon_rows(s_cols, s_rows)
         d_canon, d_sorted_cols = canon_rows(d_cols, d_rows)
-        if s_sorted_cols != d_sorted_cols:
+        # Representation check: the driver's value-hash distinguishes
+        # int64 from float64 (r1 q53: DuckDB sum(BIGINT)→HUGEINT→float64
+        # hash-mismatched Spark's LONG with numerically equal values).
+        # Flag any column where one side yields int and the other float.
+        repr_bad = []
+        for sr, dr in zip(s_canon[:50], d_canon[:50]):
+            for i, (a, b) in enumerate(zip(sr, dr)):
+                kinds = {type(a), type(b)}
+                if kinds == {int, float}:
+                    repr_bad.append(s_sorted_cols[i])
+        if repr_bad:
+            print(f"FAIL {name}: int/float representation mismatch in {sorted(set(repr_bad))}")
+            n_fail += 1
+        elif s_sorted_cols != d_sorted_cols:
             print(f"FAIL {name}: columns {s_sorted_cols} != {d_sorted_cols}")
             n_fail += 1
         elif len(s_canon) != len(d_canon):
