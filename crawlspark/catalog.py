@@ -137,6 +137,11 @@ class Transaction:
         rel = self._stage(table, df, partition_by)
         self.tables[table] = [rel]
 
+    def truncate(self, table: str) -> None:
+        """Drop every data dir from the snapshot (reads become empty);
+        no file I/O — purely a manifest operation."""
+        self.tables[table] = []
+
     def stage_all(self, writes: list[tuple[str, str, DataFrame, list[str] | None]]) -> None:
         """Stage many independent writes concurrently — Spark schedules
         jobs from multiple driver threads in parallel, overlapping the

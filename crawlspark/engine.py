@@ -12,15 +12,32 @@ because the commit is atomic).
 
 Dataflow (shuffle boundaries marked):
 
-    frontier ANTI scheduled        → queued           [shuffle: hash on url_hash]
+    frontier ANTI resolved ⟕ retry → queued           [shuffle: hash on url_hash;
+                                                       resolved/retry are slim
+                                                       working-state tables, NOT
+                                                       the full crawl history]
     ⋈ broadcast(host caps)         → candidates       [no shuffle]
     two-phase salted window cap    → capped           [shuffle: (host,host_salt)]
     orderBy(score,seq).limit(B)    → batch            [TakeOrdered, no full sort]
     mapInPandas fetch → posexplode → links            [narrow]
     canonicalize/robots/score      → candidates       [narrow + broadcast join]
     window dedup (url_norm)        → deduped          [shuffle: url_norm]
-    bloom cogroup + exact anti     → novel            [shuffle: part / url_hash]
-    seq window + appends + commit                     [writes]
+    bloom probe + exact anti       → novel            [shuffle: part / url_hash]
+    seq rank + appends + commit                       [writes]
+
+Growth discipline (the 10^10-URL design point): the cycle reads only
+working state — frontier (active discoveries), `resolved` tombstones
+(bounded between folds), `retry_state` (in-flight retry pool),
+host_state deltas (latest-wins), bloom sidecar. The unbounded history
+logs (`scheduled`, `edges`, `url_seen` full scan, `fetch_log`,
+`documents`, `metrics`) are append-only and never scanned by the hot
+path. Folding resolved → frontier every `compact_every` cycles keeps
+the per-cycle read ∝ active frontier — the manifest-catalog analogue
+of Iceberg MERGE INTO with equality deletes + background compaction.
+Per-cycle host_state writes touch only hosts that spent tokens (refill
+is lazy, see operators/politeness.py). Driver actions per cycle: ONE
+count (batch early-exit) + ONE metrics collect that both materializes
+every persisted stage and yields all counters.
 """
 
 from __future__ import annotations
@@ -69,6 +86,16 @@ class CrawlEngine:
 
     def _part(self, col: str = "url_hash"):
         return F.pmod(F.col(col), F.lit(self.cfg.n_seen_parts)).cast("int")
+
+    @property
+    def _broadcast_bloom(self) -> bool:
+        """Bloom probe strategy from config alone — no per-cycle Spark
+        jobs spent deciding (the sidecar size is n_parts × nbits/8 by
+        construction)."""
+        return (
+            self.cfg.n_seen_parts * (self.cfg.bloom_nbits // 8)
+            <= seen.BROADCAST_BLOOM_MAX_BYTES
+        )
 
     def _host_config(self) -> DataFrame:
         return host_config_df(self.spark, self.cfg.graph)
@@ -142,33 +169,30 @@ class CrawlEngine:
         g = self.cfg.graph
         snap = self.cat.current_snapshot()
         frontier = self.cat.read("frontier", snap)
-        scheduled_log = self.cat.read("scheduled", snap)
         url_seen = self.cat.read("url_seen", snap)
         bloom = self.cat.read("bloom_seen", snap)
         host_state = self.cat.read("host_state", snap)
         hc = self.cat.read("host_config", snap)
+        resolved = self.cat.read("resolved", snap)
+        retry = self.cat.read("retry_state", snap)
 
-        # QUEUED = discovered, not yet fetched OK, retries not exhausted
-        # (append-only logs; the Iceberg upgrade path is MERGE INTO
-        # state flips). A failed attempt re-queues with its original
-        # (score, seq) — the batch TTR-re-release analogue.
+        # QUEUED = frontier minus resolved tombstones (fetched OK or
+        # retries exhausted), with the attempt number for in-flight
+        # retries. Both side tables are ≤ O(batch) per cycle (resolved
+        # bounded between folds) — the full `scheduled` history log is
+        # never scanned here. A failed attempt re-queues with its
+        # original (score, seq): the batch TTR-re-release analogue.
         keys = ["url_hash", "url_norm"]
-        succeeded = scheduled_log.filter(F.col("ok")).select(*keys)
-        fail_counts = (
-            scheduled_log.filter(~F.col("ok"))
-            .groupBy(*keys)
-            .agg(F.count("*").alias("n_fail"))
-        )
-        exhausted = fail_counts.filter(F.col("n_fail") >= g.max_retries).select(*keys)
         queued = (
-            frontier.join(succeeded, keys, "left_anti")
-            .join(exhausted, keys, "left_anti")
-            .join(fail_counts, keys, "left")
+            frontier.join(resolved.select(*keys), keys, "left_anti")
+            .join(retry, keys, "left")
             .withColumn("attempt", (F.coalesce("n_fail", F.lit(0)) + 1).cast("int"))
             .drop("n_fail")
         )
 
-        hs_ref = politeness.refill_tokens(host_state, hc)  # host, tokens_refilled, cap
+        hs_ref = politeness.refill_tokens(
+            politeness.latest_host_state(host_state), hc, cycle=c
+        )  # host, tokens_refilled, cap
         capped = schedule.per_host_cap(queued, hs_ref.select("host", "cap"))
         batch = schedule.global_schedule(capped, g.batch_size).persist()
         n_sched = batch.count()
@@ -183,7 +207,6 @@ class CrawlEngine:
         batch_exec = batch.repartition(self.spark.sparkContext.defaultParallelism)
         docs = fetch_ops.fetch_batch(batch_exec, g, c).persist()
         docs_ok = docs.filter(F.col("ok"))
-        n_docs = docs_ok.count()
         # attempt outcomes back onto the batch metadata (1:1 on url_norm)
         sched_rows = batch.join(docs.select("url_norm", "ok"), "url_norm").persist()
         links = fetch_ops.extract_links(docs_ok)
@@ -201,28 +224,48 @@ class CrawlEngine:
         cand = schedule.with_salt(cand, self.cfg.n_salt)
         cand = cand.withColumn("part", self._part())
         cand = schedule.dedup_within_batch(cand).persist()
-        n_cand = cand.count()
 
-        novel = seen.seen_filter(cand, url_seen, bloom)
-        novel = schedule.assign_seq(novel, self.max_seq)
+        novel = seen.seen_filter(
+            cand, url_seen, bloom, broadcast_bloom=self._broadcast_bloom
+        )
+        novel = schedule.assign_seq(
+            novel, self.max_seq,
+            distributed=g.batch_size > schedule.SMALL_BATCH_MAX // 8,
+        )
         novel_rows = (
             novel.withColumn("discovered_from", F.col("doc_id"))
             .withColumn("cycle_id", F.lit(c).cast("long"))
             .select(*FRONTIER_COLS, "part")
             .persist()
         )
-        n_novel = novel_rows.count()
-        self.max_seq += n_novel
 
-        # politeness state carry-over: spent = actually scheduled
-        spent = batch.groupBy("host").agg(F.count("*").alias("n_spent"))
-        hs_new = (
-            hs_ref.join(spent, "host", "left")
-            .select(
-                "host",
-                (F.col("tokens_refilled") - F.coalesce(F.col("n_spent"), F.lit(0))).alias("tokens"),
-                F.lit(c).cast("long").alias("last_cycle"),
+        # fold this cycle's fetch outcomes into working state (all
+        # inputs ≤ batch-size rows): tombstones for done/exhausted,
+        # updated fail counts for retryables — the MERGE INTO analogue.
+        succeeded = sched_rows.filter(F.col("ok")).select(*keys)
+        failed = sched_rows.filter(~F.col("ok")).select(*keys, "attempt")
+        resolved_delta = (
+            succeeded.unionByName(
+                failed.filter(F.col("attempt") >= g.max_retries).select(*keys)
             )
+            .withColumn("cycle_id", F.lit(c).cast("long"))
+        )
+        retry_new = (
+            retry.join(sched_rows.select(*keys), keys, "left_anti")
+            .unionByName(
+                failed.filter(F.col("attempt") < g.max_retries).select(
+                    "url_hash", "url_norm", F.col("attempt").alias("n_fail")
+                )
+            )
+        )
+
+        # politeness carry-over: ONLY hosts that spent tokens get a
+        # delta row (lazy refill makes untouched rows stay exact)
+        spent = batch.groupBy("host").agg(F.count("*").alias("n_spent"))
+        hs_delta = hs_ref.join(spent, "host", "inner").select(
+            "host",
+            (F.col("tokens_refilled") - F.col("n_spent")).alias("tokens"),
+            F.lit(c).cast("long").alias("last_cycle"),
         )
 
         bloom_new = seen.fold_bloom(
@@ -258,24 +301,44 @@ class CrawlEngine:
             .unionByName(tag(novel_rows, "t_novel"))
             .unionByName(tag(sched_rows.filter(F.col("ok")), "t_docs"))
         )
-        metrics = tagged.groupBy("host_salt").agg(
-            F.sum("t_in").alias("s_in"),
-            F.sum("t_sched").alias("s_sched"),
-            F.sum("t_cand").alias("s_cand"),
-            F.sum("t_novel").alias("s_novel"),
-            F.sum("t_docs").alias("s_docs"),
-        ).select(
-            F.lit(c).cast("long").alias("cycle_id"),
-            F.col("host_salt").alias("part"),
-            F.col("s_in").cast("long").alias("urls_in"),
-            (F.col("s_cand") - F.col("s_novel")).cast("long").alias("urls_deduped"),
-            F.col("s_sched").cast("long").alias("urls_scheduled"),
-            F.col("s_docs").cast("long").alias("docs_written"),
-            F.lit(0).cast("long").alias("wall_ms"),
+        # ONE driver action yields every per-cycle counter AND
+        # materializes the persisted stages (cand, novel_rows,
+        # sched_rows, docs) that the staged writes then reuse from
+        # cache — replacing the 3 separate count() jobs + a metrics job.
+        stat_rows = sorted(
+            tagged.groupBy("host_salt")
+            .agg(
+                F.sum("t_in").alias("s_in"),
+                F.sum("t_sched").alias("s_sched"),
+                F.sum("t_cand").alias("s_cand"),
+                F.sum("t_novel").alias("s_novel"),
+                F.sum("t_docs").alias("s_docs"),
+            )
+            .collect(),
+            key=lambda r: r["host_salt"],
         )
+        n_docs = sum(r["s_docs"] for r in stat_rows)
+        n_cand = sum(r["s_cand"] for r in stat_rows)
+        n_novel = sum(r["s_novel"] for r in stat_rows)
+        self.max_seq += n_novel
         wall_ms = int((time.time() - t0) * 1000)
-        m_wall = self.spark.createDataFrame(
-            [(c, -1, 0, n_cand - n_novel, n_sched, n_docs, wall_ms)], METRICS
+        metrics = self.spark.createDataFrame(
+            [
+                (
+                    c, int(r["host_salt"]), int(r["s_in"]),
+                    int(r["s_cand"] - r["s_novel"]), int(r["s_sched"]),
+                    int(r["s_docs"]), 0,
+                )
+                for r in stat_rows
+            ]
+            + [(c, -1, 0, n_cand - n_novel, n_sched, n_docs, wall_ms)],
+            METRICS,
+        )
+
+        edges_delta = novel_rows.filter(F.col("discovered_from").isNotNull()).select(
+            F.col("discovered_from").alias("src"),
+            F.col("url_norm").alias("dst"),
+            F.lit(c).cast("long").alias("cycle_id"),
         )
 
         txn = self.cat.begin()
@@ -304,9 +367,12 @@ class CrawlEngine:
                     ["part"],
                 ),
                 ("overwrite", "bloom_seen", bloom_new, None),
-                ("overwrite", "host_state", hs_new, None),
+                ("append", "host_state", hs_delta, None),
+                ("append", "resolved", resolved_delta, None),
+                ("overwrite", "retry_state", retry_new, None),
+                ("append", "edges", edges_delta, None),
                 ("append", "fetch_log", fetch_log, None),
-                ("append", "metrics", metrics.unionByName(m_wall), None),
+                ("append", "metrics", metrics, None),
             ]
         )
         txn.commit(cycle_id=c, meta={"scheduled": n_sched, "discovered": n_novel})
@@ -314,6 +380,7 @@ class CrawlEngine:
         for df in (batch, docs, cand, novel_rows, sched_rows):
             df.unpersist()
         schedule.release_scratch()
+        seen.release_broadcasts()
         return {
             "cycle": c, "scheduled": n_sched, "discovered": n_novel,
             "deduped": n_cand - n_novel, "wall_ms": int((time.time() - t0) * 1000),
@@ -333,13 +400,33 @@ class CrawlEngine:
             if st["stop"]:
                 break
             if self.cfg.compact_every and c % self.cfg.compact_every == 0:
-                for table, pby in (
-                    ("frontier", None),
-                    ("url_seen", ["part"]),
-                    ("scheduled", None),
-                ):
-                    self.cat.compact(table, partition_by=pby)
+                self.fold_state()
         return stats
+
+    def fold_state(self) -> dict:
+        """Periodic state fold (Iceberg MERGE-compaction analogue), one
+        atomic commit: resolved tombstones are folded into the frontier
+        (dropping done/exhausted rows), the host_state delta log is
+        squashed to latest-per-host, and the append-heavy logs are
+        file-compacted. After a fold the cycle's working-state read is
+        exactly ∝ the active frontier. Queued semantics are unchanged
+        by construction (frontier ANTI ∅ == (frontier ANTI resolved))."""
+        snap = self.cat.current_snapshot()
+        keys = ["url_hash", "url_norm"]
+        frontier = self.cat.read("frontier", snap)
+        resolved = self.cat.read("resolved", snap)
+        active = frontier.join(resolved.select(*keys), keys, "left_anti")
+        hs_latest = politeness.latest_host_state(self.cat.read("host_state", snap))
+        txn = self.cat.begin()
+        txn.overwrite("frontier", active)
+        txn.truncate("resolved")
+        txn.overwrite("host_state", hs_latest)
+        txn.overwrite("url_seen", self.cat.read("url_seen", snap), partition_by=["part"])
+        txn.overwrite("scheduled", self.cat.read("scheduled", snap))
+        return txn.commit(
+            cycle_id=(snap or {}).get("cycle_id", 0),
+            meta={**(snap or {}).get("meta", {}), "folded": True},
+        )
 
     # -- verification views ----------------------------------------------------
 

@@ -47,8 +47,19 @@ def robots_filter(df: DataFrame, host_config: DataFrame) -> DataFrame:
     )
 
 
-def refill_tokens(host_state: DataFrame, host_config: DataFrame) -> DataFrame:
-    """host_state ⋈ host_config → refilled tokens + this cycle's cap."""
+def refill_tokens(
+    host_state: DataFrame, host_config: DataFrame, cycle: int
+) -> DataFrame:
+    """host_state ⋈ host_config → refilled tokens + this cycle's cap.
+
+    Refill is LAZY: `tokens` is the balance at `last_cycle` (post-
+    spend) and the current balance is
+    ``least(capacity, tokens + refill × (cycle − last_cycle))``.
+    This is exactly the per-cycle iterated refill — for r ≥ 0,
+    ``least(cap, least(cap, t+r) + r) == least(cap, t+2r)`` by
+    induction — but lets the engine write host_state rows only for
+    hosts that actually spend, instead of rewriting 10^8 hosts every
+    cycle."""
     return (
         host_state.join(
             F.broadcast(
@@ -59,8 +70,28 @@ def refill_tokens(host_state: DataFrame, host_config: DataFrame) -> DataFrame:
         )
         .withColumn(
             "tokens_refilled",
-            F.least(F.col("token_capacity"), F.col("tokens") + F.col("refill_per_cycle")),
+            F.least(
+                F.col("token_capacity"),
+                F.col("tokens")
+                + F.col("refill_per_cycle")
+                * (F.lit(cycle) - F.col("last_cycle")).cast("double"),
+            ),
         )
         .withColumn("cap", F.floor(F.col("tokens_refilled")).cast("int"))
         .select("host", "tokens_refilled", "cap")
+    )
+
+
+def latest_host_state(host_state: DataFrame) -> DataFrame:
+    """Resolve the append-only host_state delta log to current state:
+    newest `last_cycle` per host wins (each cycle writes at most one
+    delta per host, so the order is total). One small shuffle over the
+    hosts table — traded against rewriting every host row per cycle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.col("last_cycle").desc())
+    return (
+        host_state.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

@@ -121,16 +121,60 @@ def global_schedule(capped: DataFrame, batch_size: int) -> DataFrame:
     return out
 
 
-def assign_seq(novel: DataFrame, base_seq: int) -> DataFrame:
+_SEQ_ORDER = ["batch_pos", "span_pos", "link_pos"]
+
+
+def assign_seq(novel: DataFrame, base_seq: int, distributed: bool = False) -> DataFrame:
     """C18: deterministic FIFO sequence for this cycle's discoveries.
 
     Arrival order is defined by (parent batch_pos, span_pos, link_pos)
     — exactly the order a serial worker draining the batch would have
-    enqueued them. Runs on ≤ B·out_degree rows (post-dedup).
+    enqueued them; the triple is unique post-dedup, so the order is
+    total and the result parallelism-independent.
+
+    Small cycles (B ≤ a few k) rank through one window task — fine for
+    ≤ ~64k discoveries. Large cycles (millions of discoveries at
+    production batch sizes) use the same fully-distributed two-phase
+    rank as :func:`global_schedule`: range-partition on the order key,
+    collect only per-partition row COUNTS, then
+    seq = base + partition offset + local row_number — no
+    single-partition funnel anywhere. Both paths produce identical seq
+    (equality-tested in tests/test_properties.py).
     """
-    w = Window.orderBy("batch_pos", "span_pos", "link_pos")
-    return novel.withColumn(
-        "seq", (F.lit(base_seq) + F.row_number().over(w)).cast("long")
+    if not distributed:
+        w = Window.orderBy(*_SEQ_ORDER)
+        return novel.withColumn(
+            "seq", (F.lit(base_seq) + F.row_number().over(w)).cast("long")
+        )
+
+    spark = novel.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = (
+        novel.repartitionByRange(n_part, *[F.col(c) for c in _SEQ_ORDER])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    _SCRATCH.append(ranged)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
+    )
+    w = Window.partitionBy("_pid").orderBy(*_SEQ_ORDER)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "seq",
+            (F.lit(base_seq) + F.col("_off") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("_pid", "_off")
     )
 
 

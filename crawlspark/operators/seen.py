@@ -112,6 +112,7 @@ def bloom_prefilter_broadcast(candidates: DataFrame, bloom: DataFrame) -> DataFr
         for r in bloom.collect()
     }
     bc = spark.sparkContext.broadcast(tables)
+    _BROADCASTS.append(bc)
 
     @F.pandas_udf(T.BooleanType())
     def probe(part: pd.Series, url_hash: pd.Series) -> pd.Series:
@@ -130,6 +131,22 @@ def bloom_prefilter_broadcast(candidates: DataFrame, bloom: DataFrame) -> DataFr
 
 
 BROADCAST_BLOOM_MAX_BYTES = 256 << 20
+
+# Live bitset broadcasts from bloom_prefilter_broadcast. A long crawl
+# creates one per cycle; without release they accumulate P×nbits/8
+# bytes per cycle on the driver and every executor. The engine calls
+# release_broadcasts() after each cycle's outputs are materialized
+# (alongside schedule.release_scratch()).
+_BROADCASTS: list = []
+
+
+def release_broadcasts() -> None:
+    for bc in _BROADCASTS:
+        try:
+            bc.destroy()
+        except Exception:
+            pass
+    _BROADCASTS.clear()
 
 
 def bloom_prefilter(candidates: DataFrame, bloom: DataFrame) -> DataFrame:

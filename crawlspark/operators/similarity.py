@@ -98,6 +98,75 @@ def lsh_buckets(
     ).groupBy("id").agg(F.sum("bit").alias("bucket"))
 
 
+def lsh_buckets_banded(
+    emb: DataFrame, planes: DataFrame, planes_per_table: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, t, bucket): band-OR amplification. The global plane set is
+    sliced into L tables of r = planes_per_table planes; a vector gets
+    one sign-pattern bucket per table. Matching in ANY table makes a
+    candidate pair, so recall = 1 − (1 − p^r)^L — tunable to ≥0.9 at
+    candidate cost L·|N|/2^r per query, still ≪ all-pairs."""
+    comp = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    )
+    proj = (
+        comp.join(F.broadcast(planes), "d")
+        .withColumn("prod", F.col("x").cast("double") * F.col("coef"))
+        .groupBy("id", "p")
+        .agg(F.sum("prod").alias("proj"))
+    )
+    r = planes_per_table
+    return (
+        proj.withColumn("t", (F.col("p") / r).cast("int"))
+        .withColumn(
+            "bit",
+            F.when(
+                F.col("proj") > 0,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {r} AS INT))"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("id", "t")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+
+
+def ann_topk_banded(
+    queries: DataFrame, corpus: DataFrame, spark: SparkSession,
+    k: int, n_tables: int = 6, planes_per_table: int = 3, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k with band-OR amplified LSH: candidates share
+    the query's bucket in at least one of L independent tables, then
+    exact cosine re-rank. The recall lever is (L, r): see
+    BENCH/ANN_RECALL.md for the measured recall/candidate-cost curve
+    on the driver testdata."""
+    planes = hyperplane_coefs(spark, n_tables * planes_per_table, dim, seed)
+    allv = queries.unionByName(corpus).dropDuplicates([id_col])
+    buckets = lsh_buckets_banded(allv, planes, planes_per_table, id_col, vec_col)
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .join(buckets.withColumnRenamed("id", "q_id"), "q_id")
+    )
+    n = (
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+        .join(buckets.withColumnRenamed("id", "n_id"), "n_id")
+    )
+    cand = (
+        q.join(n, ["t", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", F.round("cos", 6).alias("cos"))
+    )
+
+
 def ann_topk(
     queries: DataFrame, corpus: DataFrame, spark: SparkSession,
     k: int, n_planes: int = 6, seed: int = 7,

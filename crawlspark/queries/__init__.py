@@ -36,8 +36,9 @@ _WINDOW = [
     # streaming S1–S6
     "q90_stream_window_rates", "q91_stream_sessions",
     "q92_stream_token_buckets",
-    # similarity P7–P8
-    "q60_cosine_topk", "q61_ann_lsh", "q62_ann_multiprobe",
+    # similarity P7–P8 (q63 band-OR is the production recall config;
+    # q62 multi-probe stays registered in the tail)
+    "q60_cosine_topk", "q61_ann_lsh", "q63_ann_banded",
     # dedup P1–P6, P17
     "q56_dedup_clusters", "q50_exact_dedup", "q51_minhash_sig",
     "q52_near_dup_pairs", "q53_simhash", "q54_simhash_pairs",

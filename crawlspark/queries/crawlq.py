@@ -93,10 +93,9 @@ def q85_pagerank(spark, sf):
     verified against numpy power iteration in tests/test_graph.py."""
     from ..operators import graph
 
-    frontier = _engine(spark).cat.read("frontier")
-    edges = frontier.filter(F.col("discovered_from").isNotNull()).select(
-        F.col("discovered_from").alias("src"), F.col("url_norm").alias("dst")
-    ).distinct()
+    edges = (
+        _engine(spark).cat.read("edges").select("src", "dst").distinct()
+    )
     return graph.pagerank(edges, damping=0.85, iterations=6)
 
 

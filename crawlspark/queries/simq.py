@@ -143,14 +143,68 @@ SELECT q_id, n_id, rnk, round(c, 6) AS cos FROM r WHERE rnk <= 3
 """
 
 
+def q63_ann_banded(spark, sf):
+    """Band-OR amplified LSH ANN (L=6 tables × r=3 planes): the
+    production recall lever — measured recall@3 = 0.87 vs brute force
+    on this testdata (q62 multi-probe: 0.30); curve + sizing rule in
+    BENCH/ANN_RECALL.md."""
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    return similarity.ann_topk_banded(
+        q, corpus, spark, k=3, n_tables=6, planes_per_table=3, seed=7, dim=64
+    )
+
+
+SQL63 = f"""
+WITH planes AS (
+  SELECT p, d, ({_H("CAST(7 AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 2001 - 1000) / 1000.0 AS coef
+  FROM UNNEST(generate_series(0, 17)) AS tp(p),
+       UNNEST(generate_series(0, 63)) AS td(d)),
+comp AS (
+  SELECT vec_id AS id, i - 1 AS d, embedding[i] AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+proj AS (
+  SELECT id, p, sum(CAST(x AS DOUBLE) * coef) AS proj
+  FROM comp JOIN planes USING (d) GROUP BY id, p),
+buckets AS (
+  SELECT id, p // 3 AS t,
+         CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << (p % 3)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM proj GROUP BY id, p // 3),
+q AS (
+  SELECT e.vec_id AS q_id, b.t, b.bucket
+  FROM embeddings e JOIN buckets b ON b.id = e.vec_id WHERE e.vec_id < 10),
+n AS (
+  SELECT e.vec_id AS n_id, b.t, b.bucket
+  FROM embeddings e JOIN buckets b ON b.id = e.vec_id WHERE e.vec_id >= 10),
+cand AS (
+  SELECT DISTINCT q.q_id, n.n_id FROM q JOIN n USING (t, bucket)
+  WHERE q.q_id != n.n_id),
+scored AS (
+  SELECT c.q_id, c.n_id,
+         {_dot('eq.embedding', 'en.embedding')}
+         / (sqrt({_dot('eq.embedding', 'eq.embedding')}) * sqrt({_dot('en.embedding', 'en.embedding')})) AS c
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.q_id
+  JOIN embeddings en ON en.vec_id = c.n_id),
+r AS (
+  SELECT q_id, n_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id ASC) AS rnk
+  FROM scored)
+SELECT q_id, n_id, rnk, round(c, 6) AS cos FROM r WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "q60_cosine_topk": q60_cosine_topk,
     "q61_ann_lsh": q61_ann_lsh,
     "q62_ann_multiprobe": q62_ann_multiprobe,
+    "q63_ann_banded": q63_ann_banded,
 }
 
 ORACLE = {
     "q60_cosine_topk": SQL60,
     "q61_ann_lsh": SQL61,
     "q62_ann_multiprobe": SQL62,
+    "q63_ann_banded": SQL63,
 }

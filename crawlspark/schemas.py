@@ -45,8 +45,9 @@ FRONTIER = T.StructType(
     ]
 )
 
-# Append-only schedule log (one row per fetch ATTEMPT; `ok` records the
-# outcome). QUEUED = frontier ANTI succeeded ANTI retry-exhausted.
+# Append-only schedule log (one row per fetch ATTEMPT; `ok` records
+# the outcome). History only — the cycle hot path never scans it;
+# QUEUED is frontier ANTI `resolved` (below).
 SCHEDULED = T.StructType(
     [
         T.StructField("cycle_id", T.LongType(), False),
@@ -60,6 +61,41 @@ SCHEDULED = T.StructType(
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("attempt", T.IntegerType(), False),
         T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+# Tombstones: URLs whose frontier life is over (fetched OK or retries
+# exhausted). ≤ batch-size rows appended per cycle; periodically folded
+# into `frontier` (frontier ANTI resolved → overwrite, resolved →
+# empty) so the per-cycle read stays ∝ active frontier, never ∝ total
+# crawl history — the manifest-catalog analogue of Iceberg MERGE
+# INTO / equality-delete files with background compaction.
+RESOLVED = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("cycle_id", T.LongType(), False),
+    ]
+)
+
+# URLs with ≥1 failed attempt that are still retryable. Small (the
+# in-flight retry pool); overwritten each cycle from ≤ batch-size
+# outcome rows. attempt = n_fail + 1 on the next schedule.
+RETRY_STATE = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("n_fail", T.IntegerType(), False),
+    ]
+)
+
+# Append-only discovery lineage (parent doc → discovered URL). Keeps
+# the link graph durable independently of frontier folding.
+EDGES = T.StructType(
+    [
+        T.StructField("src", T.StringType(), False),
+        T.StructField("dst", T.StringType(), False),
+        T.StructField("cycle_id", T.LongType(), False),
     ]
 )
 
@@ -101,7 +137,12 @@ HOST_CONFIG = T.StructType(
     ]
 )
 
-# Dynamic per-host politeness state — overwritten each cycle (small).
+# Dynamic per-host politeness state — append-only deltas, latest
+# last_cycle per host wins at read. Only hosts that SPEND tokens in a
+# cycle get a delta row (token refill is computed lazily from the
+# elapsed-cycle count, which is exact because iterated
+# least(cap, t + r) equals one-shot least(cap, t + k·r) for r ≥ 0) —
+# so per-cycle writes are ∝ hosts-in-batch, not ∝ all 10^8 hosts.
 HOST_STATE = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
@@ -139,6 +180,9 @@ TABLE_SCHEMAS = {
     "documents": DOCUMENTS,
     "frontier": FRONTIER,
     "scheduled": SCHEDULED,
+    "resolved": RESOLVED,
+    "retry_state": RETRY_STATE,
+    "edges": EDGES,
     "url_seen": URL_SEEN,
     "bloom_seen": BLOOM_SEEN,
     "host_config": HOST_CONFIG,

@@ -16,13 +16,20 @@ def get_spark(
     app_name: str = "crawlspark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    driver_memory: str = "48g",
+    driver_memory: str | None = None,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     if shuffle_partitions is None:
         shuffle_partitions = cores
+    if driver_memory is None:
+        # Conservative default, env-overridable; high-thread-count runs
+        # need more heap (GC thrash at 16g/32 threads), so scale with
+        # cores rather than pinning every caller to the bench-size JVM.
+        driver_memory = os.environ.get(
+            "CRAWLSPARK_DRIVER_MEM", "48g" if cores >= 16 else "16g"
+        )
 
     b = (
         SparkSession.builder.master(f"local[{cores}]")

@@ -94,9 +94,14 @@ def canonicalize_one(url: str | None) -> str | None:
 # (RE2 extract + C++ string ops — ~12× faster than per-URL Python).
 # Everything else falls back to the exact per-URL canonicalizer.
 # Equality of the two paths is property-tested (tests/test_urlnorm.py).
+# Port group is capped at 5 digits: longer ports fail the whole match
+# and fall through to the slow path (canonicalize_one → None, since
+# urlsplit .port raises for > 65535). Five-digit ports that still
+# exceed 65535 (e.g. :99999) are cleared from the fast/mid match by
+# the numeric _port_ok check below — keeping fast == reference exact.
 _FAST_PATTERN = (
     r"^(?P<scheme>[Hh][Tt][Tt][Pp][Ss]?)://(?P<host>[A-Za-z0-9.\-]+)"
-    r"(?P<port>:[1-9][0-9]*)?(?P<path>/[^?#%]*)?(?:#.*)?$"
+    r"(?P<port>:[1-9][0-9]{0,4})?(?P<path>/[^?#%]*)?(?:#.*)?$"
 )
 # mid path: same shape but WITH a query in a conservative charset whose
 # parse_qsl→urlencode round trip is the identity (no %-escapes, no '+',
@@ -104,9 +109,26 @@ _FAST_PATTERN = (
 # strings in Python, ~10× cheaper than full urllib
 _MID_PATTERN = (
     r"^(?P<scheme>[Hh][Tt][Tt][Pp][Ss]?)://(?P<host>[A-Za-z0-9.\-]+)"
-    r"(?P<port>:[1-9][0-9]*)?(?P<path>/[^?#%]*)?\?(?P<query>[A-Za-z0-9_=&.~\-]*)(?:#.*)?$"
+    r"(?P<port>:[1-9][0-9]{0,4})?(?P<path>/[^?#%]*)?\?(?P<query>[A-Za-z0-9_=&.~\-]*)(?:#.*)?$"
 )
 _BAD_SEG_PATTERN = r"/\.{1,2}(/|$)"
+
+
+def _port_ok(port):
+    """True where the extracted ':NNNNN' group is absent or ≤ 65535."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    digits = pc.utf8_slice_codeunits(port, 1, 6)
+    num = pc.cast(
+        pc.if_else(
+            pc.or_kleene(pc.is_null(digits), pc.equal(digits, "")),
+            pa.scalar("0"),
+            digits,
+        ),
+        pa.int32(),
+    )
+    return pc.less_equal(num, 65535)
 
 
 def _norm_query(q: str) -> str:
@@ -152,7 +174,9 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
         scheme, pc.if_else(pc.is_valid(scheme), pa.scalar("://"), pa.scalar(None, pa.string())),
         host, port_norm, path, "",
     )
-    fast = pc.and_kleene(pc.is_valid(scheme), pc.invert(bad_seg))
+    fast = pc.and_kleene(
+        pc.and_kleene(pc.is_valid(scheme), pc.invert(bad_seg)), _port_ok(port)
+    )
 
     out = joined.to_pandas()
     out.index = urls.index
@@ -181,7 +205,11 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
             host2, port2, path2, "",
         )
         mid = pc.and_kleene(
-            pc.is_valid(scheme2), pc.invert(pc.match_substring_regex(path2, _BAD_SEG_PATTERN))
+            pc.and_kleene(
+                pc.is_valid(scheme2),
+                pc.invert(pc.match_substring_regex(path2, _BAD_SEG_PATTERN)),
+            ),
+            _port_ok(port2),
         )
         mid_pd = mid.to_pandas().fillna(False).astype(bool)
         mid_pd.index = urls.index
@@ -222,9 +250,12 @@ def resolve_series(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
     """Vectorized resolve: absolute hrefs (the common case in link
     graphs) pass through untouched; scheme-relative and relative ones
     fall back to per-row urljoin. Property-tested == urljoin."""
-    is_abs = hrefs.str.match(_ABS).fillna(False)
+    is_abs = hrefs.str.match(_ABS).astype("boolean").fillna(False).astype(bool)
     out = hrefs.copy()
-    rel = ~is_abs
+    # null hrefs/bases stay out of the urljoin loop (urljoin(b, None)
+    # raises TypeError); they pass through as nulls, which the
+    # downstream canonicalizer maps to None anyway
+    rel = ~is_abs & hrefs.notna() & bases.notna()
     if rel.any():
         out[rel] = [resolve_one(b, h) for b, h in zip(bases[rel], hrefs[rel])]
     return out

@@ -48,46 +48,87 @@ def test_window_topk_single_shuffle(spark):
     assert "CartesianProduct" not in p
 
 
+def _cycle_batch_plan(eng, spark, keys=("url_hash", "url_norm")):
+    """Build the exact queued→capped→batch dataflow run_cycle uses
+    (working-state reads: frontier ANTI resolved ⟕ retry, lazy-refilled
+    host_state deltas)."""
+    from pyspark.sql import functions as FF
+
+    from crawlspark.operators import politeness, schedule
+
+    snap = eng.cat.current_snapshot()
+    frontier = eng.cat.read("frontier", snap)
+    resolved = eng.cat.read("resolved", snap)
+    retry = eng.cat.read("retry_state", snap)
+    host_state = eng.cat.read("host_state", snap)
+    hc = eng.cat.read("host_config", snap)
+    queued = (
+        frontier.join(resolved.select(*keys), list(keys), "left_anti")
+        .join(retry, list(keys), "left")
+        .withColumn("attempt", (FF.coalesce("n_fail", FF.lit(0)) + 1).cast("int"))
+        .drop("n_fail")
+    )
+    hs_ref = politeness.refill_tokens(
+        politeness.latest_host_state(host_state), hc, cycle=2
+    )
+    return schedule.global_schedule(
+        schedule.per_host_cap(queued, hs_ref.select("host", "cap")), UNIT.batch_size
+    )
+
+
 def test_cycle_plan_shape(spark):
     """The scheduled-batch plan of a real cycle: anti-join + broadcast
-    politeness joins, filters pushed to the frontier scan, and
-    whole-stage codegen present."""
+    politeness joins, filters pushed to the frontier scan, whole-stage
+    codegen present — and NO scan of the unbounded history logs
+    (`scheduled`, `edges`, `fetch_log`): per-cycle input must stay ∝
+    working state, not total crawl history."""
     eng = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=tempfile.mkdtemp()))
     eng.bootstrap()
     eng.run_cycle(1)
-    snap = eng.cat.current_snapshot()
-    frontier = eng.cat.read("frontier", snap)
-    scheduled_log = eng.cat.read("scheduled", snap)
-    host_state = eng.cat.read("host_state", snap)
-    hc = eng.cat.read("host_config", snap)
-    from crawlspark.operators import politeness, schedule
-
-    queued = frontier.join(
-        scheduled_log.select("url_hash", "url_norm"), ["url_hash", "url_norm"], "left_anti"
-    )
-    hs_ref = politeness.refill_tokens(host_state, hc)
-    batch = schedule.global_schedule(
-        schedule.per_host_cap(queued, hs_ref.select("host", "cap")), UNIT.batch_size
-    )
+    batch = _cycle_batch_plan(eng, spark)
     p = plan_of(batch)
     assert "LeftAnti" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "PushedFilters" in p
+    # the scale invariant: no history-log directory feeds the cycle plan
+    for history_table in ("/scheduled/", "/edges/", "/fetch_log/"):
+        assert history_table not in p, f"cycle plan scans history log {history_table}"
     # whole-stage codegen: AQE wrappers hide codegen pre-execution, so
     # audit the same plan shape with AQE off
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        queued2 = frontier.join(
-            scheduled_log.select("url_hash", "url_norm"), ["url_hash", "url_norm"], "left_anti"
-        )
-        batch2 = schedule.global_schedule(
-            schedule.per_host_cap(queued2, hs_ref.select("host", "cap")), UNIT.batch_size
-        )
+        batch2 = _cycle_batch_plan(eng, spark)
         pc = batch2._jdf.queryExecution().executedPlan().toString()
         assert "*(" in pc  # `*(N)` = WholeStageCodegen span marker
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_assign_seq_distributed_no_global_window(spark):
+    """C18 at production batch sizes: the distributed two-phase rank
+    must contain no partitionBy-less window (single-task funnel) and
+    must equal the single-window path exactly."""
+    from pyspark.sql import functions as FF
+
+    from crawlspark.operators import schedule
+
+    novel = spark.range(5000).select(
+        (F.col("id") % 100).alias("batch_pos"),
+        ((F.col("id") / 100).cast("long") % 10).alias("span_pos"),
+        (F.col("id") / 1000).cast("long").alias("link_pos"),
+        F.concat(F.lit("http://h/p"), F.col("id").cast("string")).alias("url_norm"),
+    )
+    small = schedule.assign_seq(novel, 1000, distributed=False)
+    big = schedule.assign_seq(novel, 1000, distributed=True)
+    # No single-partition exchange anywhere in the distributed plan:
+    # the rank windows partition by _pid, never by the empty spec
+    p = big._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p, p
+    a = {r["url_norm"]: r["seq"] for r in small.collect()}
+    b = {r["url_norm"]: r["seq"] for r in big.collect()}
+    schedule.release_scratch()
+    assert a == b
 
 
 def test_bucketed_seen_join_shuffles_only_candidates(spark):

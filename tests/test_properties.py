@@ -232,6 +232,21 @@ def test_engine_auto_compaction(spark):
     assert len(e2.cat.current_snapshot()["tables"]["frontier"]) < len(
         e1.cat.current_snapshot()["tables"]["frontier"]
     )
+    # fold semantics: identical seen set; tombstones emptied by the
+    # fold; folded frontier holds only still-active (never-resolved)
+    # rows so the per-cycle read is ∝ active frontier
+    sa = sorted(r["url_norm"] for r in e1.seen_set().collect())
+    sb = sorted(r["url_norm"] for r in e2.seen_set().collect())
+    assert sa == sb
+    assert e2.cat.read("resolved").count() == 0
+    f2 = e2.cat.read("frontier")
+    r1_resolved = e1.cat.read("resolved").select("url_hash", "url_norm")
+    still_active_1 = (
+        e1.cat.read("frontier")
+        .join(r1_resolved, ["url_hash", "url_norm"], "left_anti")
+        .count()
+    )
+    assert f2.count() == still_active_1
 
 
 # -- query-surface determinism across shuffle partitionings ----------------

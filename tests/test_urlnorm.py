@@ -31,6 +31,12 @@ CORPUS = [
     "http://example.com/p?",
     "http://example.com/p?a=1&a=0",
     "http://example.com:0/p",
+    "http://example.com:65535/p",
+    "http://example.com:65536/p",
+    "http://example.com:99999/p",
+    "http://example.com:100000/p",
+    "http://example.com:99999/p?b=2&a=1",
+    "http://example.com:655351234567/p",
     "  http://example.com/p  ",
     "http://exa_mple.com/p",
     "http://example.com//double//slash",
@@ -78,6 +84,20 @@ def test_idempotent_fuzz(u):
     c = canonicalize_one(u)
     if c is not None:
         assert canonicalize_one(c) == c
+
+
+def test_resolve_series_null_safe():
+    """Null hrefs or bases must not crash the Arrow batch (urljoin on
+    None raises TypeError); they pass through as nulls."""
+    from crawlspark.urlnorm import resolve_series
+
+    bases = pd.Series(["http://a.com/x", None, "http://a.com/x", None])
+    hrefs = pd.Series([None, "rel", "rel", None])
+    got = resolve_series(bases, hrefs)
+    assert got.iloc[0] is None
+    assert got.iloc[1] == "rel"
+    assert got.iloc[2] == "http://a.com/rel"
+    assert got.iloc[3] is None
 
 
 def test_resolve_series_equals_urljoin():
