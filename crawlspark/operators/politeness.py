@@ -16,14 +16,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# longest matching prefix wins; empty match list ⇒ allowed (no rules hit)
+# Google-spec precedence: most specific matching rule (largest `spec`
+# = rule-path length) wins, Allow wins ties; empty match list ⇒
+# allowed. Plain rules match by prefix, wildcard rules by their
+# compiled `pattern` regex — all JVM-side (filter / array_sort /
+# regexp_like higher-order fns), no Python in the per-URL path.
 ROBOTS_ALLOW_EXPR = """
 coalesce(
-  element_at(
+  try_element_at(
     array_sort(
-      filter(robots_rules, r -> startswith(path, r.prefix)),
-      (a, b) -> CASE WHEN length(a.prefix) > length(b.prefix) THEN -1
-                     WHEN length(a.prefix) < length(b.prefix) THEN 1
+      filter(robots_rules,
+             r -> CASE WHEN r.pattern IS NULL THEN startswith(path, r.prefix)
+                       ELSE path RLIKE r.pattern END),
+      (a, b) -> CASE WHEN a.spec > b.spec THEN -1
+                     WHEN a.spec < b.spec THEN 1
+                     WHEN a.allow AND NOT b.allow THEN -1
+                     WHEN b.allow AND NOT a.allow THEN 1
                      ELSE 0 END
     ),
   1).allow,

@@ -118,10 +118,17 @@ BLOOM_SEEN = T.StructType(
     ]
 )
 
+# One robots rule. Plain rules match by path prefix; rules whose
+# robots.txt path contained '*' or '$' carry a compiled regex in
+# `pattern` (anchored at path start). `spec` = length of the original
+# rule path — Google-spec precedence: most specific rule wins, Allow
+# wins ties (crawlspark/robots.py builds these from real robots.txt).
 ROBOTS_RULE = T.StructType(
     [
         T.StructField("allow", T.BooleanType(), False),
         T.StructField("prefix", T.StringType(), False),
+        T.StructField("pattern", T.StringType(), True),
+        T.StructField("spec", T.IntegerType(), False),
     ]
 )
 

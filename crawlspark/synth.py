@@ -83,10 +83,10 @@ class GraphConfig:
     def robots_rules(self, i: int) -> list[dict]:
         if self.has_robots(i):
             return [
-                {"allow": False, "prefix": "/private"},
-                {"allow": True, "prefix": "/"},
+                {"allow": False, "prefix": "/private", "pattern": None, "spec": 8},
+                {"allow": True, "prefix": "/", "pattern": None, "spec": 1},
             ]
-        return [{"allow": True, "prefix": "/"}]
+        return [{"allow": True, "prefix": "/", "pattern": None, "spec": 1}]
 
     # -- fetch failures (the TTR / at-least-once analogue) -------------------
 
@@ -212,13 +212,18 @@ def extract_links_from_text(text: str) -> list[str]:
 
 
 def robots_allowed(path: str, rules: list[dict]) -> bool:
-    """Longest-prefix-match robots decision (pure; engine re-expresses
-    this with JVM higher-order array functions — see politeness.py)."""
-    best_len, best_allow = -1, True
+    """Robots decision, Google-spec precedence: most-specific (longest
+    rule path, `spec`) matching rule wins, Allow wins ties. Plain rules
+    match by prefix; wildcard rules by their compiled `pattern`. Pure;
+    the engine re-expresses this with JVM higher-order array functions
+    — see politeness.py — and equality is tested in tests/test_robots.py."""
+    best = (-1, False)  # (spec, allow); allow=True sorts above on ties
     for r in rules:
-        if path.startswith(r["prefix"]) and len(r["prefix"]) > best_len:
-            best_len, best_allow = len(r["prefix"]), r["allow"]
-    return best_allow
+        pat = r.get("pattern")
+        hit = re.match(pat, path) if pat else path.startswith(r["prefix"])
+        if hit and (r["spec"], r["allow"]) > best:
+            best = (r["spec"], r["allow"])
+    return best[1] if best[0] >= 0 else True
 
 
 # canonical preset tiers (FIXTURES.md §2.4)

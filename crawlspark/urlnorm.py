@@ -111,7 +111,24 @@ _MID_PATTERN = (
     r"^(?P<scheme>[Hh][Tt][Tt][Pp][Ss]?)://(?P<host>[A-Za-z0-9.\-]+)"
     r"(?P<port>:[1-9][0-9]{0,4})?(?P<path>/[^?#%]*)?\?(?P<query>[A-Za-z0-9_=&.~\-]*)(?:#.*)?$"
 )
-_BAD_SEG_PATTERN = r"/\.{1,2}(/|$)"
+def _resolve_dots_arrow(path):
+    """Vectorized RFC 3986 §5.2.4 dot-segment removal, iterated RE2
+    replaces to fixpoint (nesting depth passes). Exactly mirrors
+    _remove_dot_segments for '/'-rooted paths: leading '/..' drops,
+    '/./' collapses, '<seg>/..' pops (empty segments pop too);
+    property- and fuzz-tested equal. This keeps dot-segment URLs — the
+    most common messy variant in link graphs — on the vectorized fast
+    path instead of per-row Python."""
+    import pyarrow.compute as pc
+
+    for _ in range(64):
+        new = pc.replace_substring_regex(path, r"^(/\.\.)+(/|$)", r"\2")
+        new = pc.replace_substring_regex(new, r"/\.(/|$)", r"\1")
+        new = pc.replace_substring_regex(new, r"/[^/]*/\.\.(/|$)", r"\1")
+        if new.equals(path):
+            break
+        path = new
+    return path
 
 
 def _port_ok(port):
@@ -159,11 +176,13 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     host = pc.utf8_rtrim(pc.utf8_lower(pc.struct_field(ext, "host")), ".")
     port = pc.struct_field(ext, "port")
     path = pc.struct_field(ext, "path")
-    # unmatched optional groups extract as "" (not null)
+    # unmatched optional groups extract as "" (not null); dot segments
+    # resolve vectorized (possibly back to "" ⇒ "/")
     path = pc.if_else(
         pc.or_kleene(pc.is_null(path), pc.equal(path, "")), pa.scalar("/"), path
     )
-    bad_seg = pc.match_substring_regex(path, _BAD_SEG_PATTERN)
+    path = _resolve_dots_arrow(path)
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
     default_port = pc.if_else(pc.equal(scheme, "http"), pa.scalar(":80"), pa.scalar(":443"))
     port_norm = pc.if_else(
         pc.or_kleene(pc.is_null(port), pc.equal(port, default_port)),
@@ -174,9 +193,7 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
         scheme, pc.if_else(pc.is_valid(scheme), pa.scalar("://"), pa.scalar(None, pa.string())),
         host, port_norm, path, "",
     )
-    fast = pc.and_kleene(
-        pc.and_kleene(pc.is_valid(scheme), pc.invert(bad_seg)), _port_ok(port)
-    )
+    fast = pc.and_kleene(pc.is_valid(scheme), _port_ok(port))
 
     out = joined.to_pandas()
     out.index = urls.index
@@ -195,6 +212,8 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
         path2 = pc.if_else(
             pc.or_kleene(pc.is_null(path2), pc.equal(path2, "")), pa.scalar("/"), path2
         )
+        path2 = _resolve_dots_arrow(path2)
+        path2 = pc.if_else(pc.equal(path2, ""), pa.scalar("/"), path2)
         dp2 = pc.if_else(pc.equal(scheme2, "http"), pa.scalar(":80"), pa.scalar(":443"))
         port2 = pc.if_else(
             pc.or_kleene(pc.is_null(port2), pc.equal(port2, dp2)), pa.scalar(""), port2
@@ -204,13 +223,7 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
             pc.if_else(pc.is_valid(scheme2), pa.scalar("://"), pa.scalar(None, pa.string())),
             host2, port2, path2, "",
         )
-        mid = pc.and_kleene(
-            pc.and_kleene(
-                pc.is_valid(scheme2),
-                pc.invert(pc.match_substring_regex(path2, _BAD_SEG_PATTERN)),
-            ),
-            _port_ok(port2),
-        )
+        mid = pc.and_kleene(pc.is_valid(scheme2), _port_ok(port2))
         mid_pd = mid.to_pandas().fillna(False).astype(bool)
         mid_pd.index = urls.index
         if mid_pd.any():

@@ -19,6 +19,19 @@ CORPUS = [
     "http://example.com:8080/p?b=2&a=1",
     "http://example.com/a/../b",
     "http://example.com/a/./b",
+    "http://example.com/..",
+    "http://example.com/../a",
+    "http://example.com/a/..",
+    "http://example.com/a/b/../../c",
+    "http://example.com/a//../b",
+    "http://example.com//../a",
+    "http://example.com/././.",
+    "http://example.com/.../..",
+    "http://example.com/..a/b",
+    "http://example.com/a/..b",
+    "http://example.com/foo/..%2Fbar",
+    "http://example.com/a/../b?y=2&x=1",
+    "http://example.com/a/./b?utm_source=x&q=1#f",
     "http://example.com/p#frag",
     "http://example.com./p",
     "http://example.com/p?utm_source=x&q=1",
@@ -76,6 +89,17 @@ def test_fast_path_equals_reference_fuzz(u):
     got = canonicalize_series(pd.Series([u])).iloc[0]
     want = canonicalize_one(u)
     assert (got is None and want is None) or got == want
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet="./ab", min_size=0, max_size=24))
+def test_dot_segment_fuzz(p):
+    """The vectorized RE2 dot-segment resolver must equal the per-URL
+    reference on arbitrary ./ soup paths."""
+    u = "http://example.com/" + p
+    got = canonicalize_series(pd.Series([u])).iloc[0]
+    want = canonicalize_one(u)
+    assert got == want, (u, got, want)
 
 
 @settings(max_examples=200, deadline=None)
