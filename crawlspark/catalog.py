@@ -167,7 +167,7 @@ class Transaction:
             w.parquet(str(self.cat.root / rel))
             staged[idx] = rel
 
-        with ThreadPoolExecutor(max_workers=min(8, len(plans) or 1)) as ex:
+        with ThreadPoolExecutor(max_workers=min(16, len(plans) or 1)) as ex:
             list(ex.map(write_one, plans))
         for idx, mode, table, _df, _pby, rel in plans:
             if mode == "append":

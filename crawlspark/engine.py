@@ -189,6 +189,22 @@ class CrawlEngine:
             .withColumn("attempt", (F.coalesce("n_fail", F.lit(0)) + 1).cast("int"))
             .drop("n_fail")
         )
+        # per-salt queued counts ride along the batch job via observe —
+        # the per-host cap scans every queued row exactly once there, so
+        # urls_in costs zero extra scans (the r1 metrics job re-scanned
+        # the whole frontier for this)
+        from pyspark.sql import Observation
+
+        q_obs = Observation(f"queued_c{c}")
+        queued = queued.observe(
+            q_obs,
+            *[
+                F.sum(
+                    F.when(F.col("host_salt") == i, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"s{i}")
+                for i in range(self.cfg.n_salt)
+            ],
+        )
 
         hs_ref = politeness.refill_tokens(
             politeness.latest_host_state(host_state), hc, cycle=c
@@ -227,10 +243,16 @@ class CrawlEngine:
 
         novel = seen.seen_filter(
             cand, url_seen, bloom, broadcast_bloom=self._broadcast_bloom
-        )
+        ).persist()
+        # one cheap action: materializes the probe pipeline into cache
+        # (every later consumer reuses it) and gives the TRUE discovery
+        # count, so the two-phase distributed rank runs only when the
+        # single-window path would actually funnel >64k rows through
+        # one task — batch_size alone overestimates at low out-degrees.
+        n_discovered = novel.count()
         novel = schedule.assign_seq(
             novel, self.max_seq,
-            distributed=g.batch_size > schedule.SMALL_BATCH_MAX // 8,
+            distributed=n_discovered > schedule.SMALL_BATCH_MAX,
         )
         novel_rows = (
             novel.withColumn("discovered_from", F.col("doc_id"))
@@ -290,25 +312,22 @@ class CrawlEngine:
                 "host_salt",
                 *[
                     F.lit(1 if name == col else 0).alias(name)
-                    for name in ("t_in", "t_sched", "t_cand", "t_novel", "t_docs")
+                    for name in ("t_sched", "t_cand", "t_novel", "t_docs")
                 ],
             )
 
         tagged = (
-            tag(queued, "t_in")
-            .unionByName(tag(batch, "t_sched"))
+            tag(batch, "t_sched")
             .unionByName(tag(cand, "t_cand"))
             .unionByName(tag(novel_rows, "t_novel"))
             .unionByName(tag(sched_rows.filter(F.col("ok")), "t_docs"))
         )
-        # ONE driver action yields every per-cycle counter AND
-        # materializes the persisted stages (cand, novel_rows,
-        # sched_rows, docs) that the staged writes then reuse from
-        # cache — replacing the 3 separate count() jobs + a metrics job.
+        # ONE driver action over CACHED frames yields every remaining
+        # counter and materializes novel_rows/sched_rows for the staged
+        # writes — queued counts already arrived via the observation.
         stat_rows = sorted(
             tagged.groupBy("host_salt")
             .agg(
-                F.sum("t_in").alias("s_in"),
                 F.sum("t_sched").alias("s_sched"),
                 F.sum("t_cand").alias("s_cand"),
                 F.sum("t_novel").alias("s_novel"),
@@ -317,19 +336,26 @@ class CrawlEngine:
             .collect(),
             key=lambda r: r["host_salt"],
         )
+        q_in = q_obs.get
         n_docs = sum(r["s_docs"] for r in stat_rows)
         n_cand = sum(r["s_cand"] for r in stat_rows)
         n_novel = sum(r["s_novel"] for r in stat_rows)
         self.max_seq += n_novel
         wall_ms = int((time.time() - t0) * 1000)
+        per_salt = {int(r["host_salt"]): r for r in stat_rows}
+        salts = sorted(
+            set(per_salt) | {i for i in range(self.cfg.n_salt) if q_in[f"s{i}"]}
+        )
         metrics = self.spark.createDataFrame(
             [
                 (
-                    c, int(r["host_salt"]), int(r["s_in"]),
-                    int(r["s_cand"] - r["s_novel"]), int(r["s_sched"]),
-                    int(r["s_docs"]), 0,
+                    c, s, int(q_in[f"s{s}"] or 0),
+                    int(per_salt[s]["s_cand"] - per_salt[s]["s_novel"]) if s in per_salt else 0,
+                    int(per_salt[s]["s_sched"]) if s in per_salt else 0,
+                    int(per_salt[s]["s_docs"]) if s in per_salt else 0,
+                    0,
                 )
-                for r in stat_rows
+                for s in salts
             ]
             + [(c, -1, 0, n_cand - n_novel, n_sched, n_docs, wall_ms)],
             METRICS,
@@ -377,7 +403,7 @@ class CrawlEngine:
         )
         txn.commit(cycle_id=c, meta={"scheduled": n_sched, "discovered": n_novel})
 
-        for df in (batch, docs, cand, novel_rows, sched_rows):
+        for df in (batch, docs, cand, novel, novel_rows, sched_rows):
             df.unpersist()
         schedule.release_scratch()
         seen.release_broadcasts()
