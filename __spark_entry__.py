@@ -2,10 +2,13 @@
 
 ``entry`` runs the flagship broadcast-join aggregation on sf0.001;
 ``queries``/``oracle_sql`` expose the full operator surface from
-SURVEY.md §2 — relational (q01–q27), text analysis (q40–q43), dedup
-(q50–q55), similarity search (q60–q61), and the crawl engine itself
-(q80–q83, rows-only; their semantics are oracle-checked against the
-pure-Python refsim in tests/).
+SURVEY.md §2. Registration order leads with the north-star surfaces —
+crawl engine (q80–q85; rows-only, semantics oracle-checked against the
+pure-Python refsim in tests/), streaming (q90–q92), similarity
+(q60/q61/q63), dedup clustering (q56) — then dedup (q50–q55), text
+analysis (q40–q44), and one relational query per operator, so the
+correctness harness's recording window covers every distinct
+capability; redundant relational family variants follow after.
 """
 
 from __future__ import annotations
