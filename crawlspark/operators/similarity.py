@@ -167,6 +167,33 @@ def ann_topk_banded(
     )
 
 
+def embedding_near_dups(
+    emb: DataFrame, spark: SparkSession, threshold: float,
+    n_tables: int = 6, planes_per_table: int = 3, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup shape: self-join
+    i < j over the whole corpus): band-OR LSH candidates → exact cosine
+    verify ≥ threshold. Never all-pairs — candidate cost L·|N|²/2^r;
+    the DuckDB oracle replays the identical bucketing, so results match
+    bit-exactly even where LSH recall < 1."""
+    planes = hyperplane_coefs(spark, n_tables * planes_per_table, dim, seed)
+    buckets = lsh_buckets_banded(emb, planes, planes_per_table, id_col, vec_col)
+    side = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        buckets, "id"
+    )
+    a = side.select(F.col("id").alias("i"), F.col("v").alias("vi"), "t", "bucket")
+    b = side.select(F.col("id").alias("j"), F.col("v").alias("vj"), "t", "bucket")
+    return (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .dropDuplicates(["i", "j"])
+        .withColumn("cos", cosine(F.col("vi"), F.col("vj")))
+        .filter(F.col("cos") >= threshold)
+        .select("i", "j", F.round("cos", 6).alias("cos"))
+    )
+
+
 def ann_topk(
     queries: DataFrame, corpus: DataFrame, spark: SparkSession,
     k: int, n_planes: int = 6, seed: int = 7,

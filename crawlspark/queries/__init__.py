@@ -39,18 +39,20 @@ _WINDOW = [
     # similarity P7–P8 (q63 band-OR is the production recall config;
     # q62 multi-probe stays registered in the tail)
     "q60_cosine_topk", "q61_ann_lsh", "q63_ann_banded",
-    # dedup P1–P6, P17
+    # dedup P1–P6, P17 + embedding-cosine near-dups (q57)
     "q56_dedup_clusters", "q50_exact_dedup", "q51_minhash_sig",
     "q52_near_dup_pairs", "q53_simhash", "q54_simhash_pairs",
-    "q55_chargram_pairs",
+    "q55_chargram_pairs", "q57_embed_near_dups",
     # text pipeline P9–P13
     "q40_token_stats", "q41_quality", "q42_lang_id", "q43_fingerprint",
     "q44_media_meta",
     # relational surface, one per operator (R1–R23 + §2.3 families)
     "q01_pricing_summary", "q02_filter_project", "q03_revenue_by_nation",
     "q04_order_priority", "q05_customers_without_orders",
+    # (q09 exact/count-distinct moved to the tail: R13's count-distinct
+    # runs in-window via q29's countDistinct and q15_setops' distincts)
     "q06_parts_with_bulk_orders", "q07_ship_latency",
-    "q08_region_status_grid", "q09_distinct_users", "q10_group_families",
+    "q08_region_status_grid", "q10_group_families",
     "q12_top_orders_per_cust", "q13_running_total", "q14_topk_orders",
     "q15_setops", "q17_vector_stats", "q18_doc_pivot", "q19_first_event",
     "q20_json_props", "q25_asof_orders", "q26_bucketed_antijoin",

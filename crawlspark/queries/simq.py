@@ -195,7 +195,48 @@ SELECT q_id, n_id, rnk, round(c, 6) AS cos FROM r WHERE rnk <= 3
 """
 
 
+def q57_embed_near_dups(spark, sf):
+    """Embedding-cosine near-dup pairs over the whole embeddings table
+    (banded-LSH candidates, exact cos ≥ 0.42 verify — τ calibrated to
+    this corpus's cosine geometry: 34 brute-force pairs exist at 0.42;
+    the oracle replays the identical bucketing)."""
+    return similarity.embedding_near_dups(
+        T(spark, sf, "embeddings"), spark, threshold=0.42,
+        n_tables=6, planes_per_table=3, seed=7, dim=64,
+    )
+
+
+SQL57 = f"""
+WITH planes AS (
+  SELECT p, d, ({_H("CAST(7 AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 2001 - 1000) / 1000.0 AS coef
+  FROM UNNEST(generate_series(0, 17)) AS tp(p),
+       UNNEST(generate_series(0, 63)) AS td(d)),
+comp AS (
+  SELECT vec_id AS id, i - 1 AS d, embedding[i] AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+proj AS (
+  SELECT id, p, sum(CAST(x AS DOUBLE) * coef) AS proj
+  FROM comp JOIN planes USING (d) GROUP BY id, p),
+buckets AS (
+  SELECT id, p // 3 AS t,
+         CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << (p % 3)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM proj GROUP BY id, p // 3),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+scored AS (
+  SELECT c.i, c.j,
+         {_dot('ei.embedding', 'ej.embedding')}
+         / (sqrt({_dot('ei.embedding', 'ei.embedding')}) * sqrt({_dot('ej.embedding', 'ej.embedding')})) AS c
+  FROM cand c
+  JOIN embeddings ei ON ei.vec_id = c.i
+  JOIN embeddings ej ON ej.vec_id = c.j)
+SELECT i, j, round(c, 6) AS cos FROM scored WHERE c >= 0.42
+"""
+
+
 QUERIES = {
+    "q57_embed_near_dups": q57_embed_near_dups,
     "q60_cosine_topk": q60_cosine_topk,
     "q61_ann_lsh": q61_ann_lsh,
     "q62_ann_multiprobe": q62_ann_multiprobe,
@@ -203,6 +244,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q57_embed_near_dups": SQL57,
     "q60_cosine_topk": SQL60,
     "q61_ann_lsh": SQL61,
     "q62_ann_multiprobe": SQL62,
