@@ -39,7 +39,6 @@ def pagerank(
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     out_deg.count()
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    prev_persisted = None
     for _ in range(iterations):
         contribs = (
             edges.join(ranks, edges["src"] == ranks["id"])
@@ -48,26 +47,28 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        dangling = (
-            ranks.join(out_deg, ranks["id"] == out_deg["src"], "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
-        base = (1.0 - damping) + damping * dangling / n
-        new_ranks = (
+        # dangling mass as a broadcast 1-row aggregate folded into the
+        # same job as the rank update — no per-iteration driver collect
+        dangling = ranks.join(
+            out_deg, ranks["id"] == out_deg["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+        # localCheckpoint (eager) both materializes the round and
+        # TRUNCATES the logical plan — `ranks` is referenced twice per
+        # round (contribs + dangling), so without truncation the plan
+        # would double every iteration; persist alone cuts execution
+        # lineage but not the analyzed-plan tree.
+        ranks = (
             nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+                (
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.col("_dangling") / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_ranks.count()
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        prev_persisted = new_ranks
-        ranks = new_ranks
     out = ranks.select("id", F.round("rank", 6).alias("rank"))
     for df in (nodes, out_deg, edges):
         df.unpersist()

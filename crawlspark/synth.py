@@ -80,13 +80,33 @@ class GraphConfig:
     def has_robots(self, i: int) -> bool:
         return h64(self.seed, "robots", i) % 3 == 0
 
+    def robots_txt(self, i: int) -> str | None:
+        """The host's actual robots.txt text (None = no file). Includes
+        a foreign user-agent group (exercises group selection) and a
+        wildcard rule (exercises the regex matcher in the engine's hot
+        path) that matches no generated page, so crawl decisions reduce
+        to the /private prefix rule."""
+        if not self.has_robots(i):
+            return None
+        return (
+            "# synthetic robots corpus\n"
+            "User-agent: archivebot\n"
+            "Disallow: /\n"
+            "\n"
+            "User-agent: *\n"
+            "Disallow: /private\n"
+            "Disallow: /*.tmp$\n"
+            f"Crawl-delay: {self.crawl_delay_ms(i) / 1000}\n"
+        )
+
     def robots_rules(self, i: int) -> list[dict]:
-        if self.has_robots(i):
-            return [
-                {"allow": False, "prefix": "/private", "pattern": None, "spec": 8},
-                {"allow": True, "prefix": "/", "pattern": None, "spec": 1},
-            ]
-        return [{"allow": True, "prefix": "/", "pattern": None, "spec": 1}]
+        """Rules as compiled from the REAL robots.txt text by the
+        grammar parser — the engine (via gen.host_config_df) and the
+        refsim oracle both consume exactly this."""
+        from .robots import parse_robots
+
+        rules, _delay = parse_robots(self.robots_txt(i))
+        return rules
 
     # -- fetch failures (the TTR / at-least-once analogue) -------------------
 
