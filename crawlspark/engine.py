@@ -406,7 +406,7 @@ class CrawlEngine:
         for df in (batch, docs, cand, novel, novel_rows, sched_rows):
             df.unpersist()
         schedule.release_scratch()
-        seen.release_broadcasts()
+        seen.release_broadcasts(self.spark)
         return {
             "cycle": c, "scheduled": n_sched, "discovered": n_novel,
             "deduped": n_cand - n_novel, "wall_ms": int((time.time() - t0) * 1000),

@@ -140,13 +140,47 @@ BROADCAST_BLOOM_MAX_BYTES = 256 << 20
 _BROADCASTS: list = []
 
 
-def release_broadcasts() -> None:
+def release_broadcasts(spark=None) -> None:
     for bc in _BROADCASTS:
         try:
             bc.destroy()
         except Exception:
             pass
     _BROADCASTS.clear()
+    if spark is not None and _native_loaded(spark):
+        spark._jvm.crawlspark.nativejvm.BloomProbe.release()
+
+
+def _native_loaded(spark) -> bool:
+    import os
+
+    if os.environ.get("CRAWLSPARK_NO_NATIVE"):
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName("crawlspark.nativejvm.BloomProbe")
+        return True
+    except Exception:
+        return False
+
+
+def bloom_prefilter_native(candidates: DataFrame, bloom: DataFrame) -> DataFrame | None:
+    """Adds `maybe_seen` via the JVM-native probe (native/src/
+    BloomProbe.scala): bitsets collected + broadcast once, then probed
+    by a registered JVM UDF — the per-URL hot path never crosses into
+    Python/Arrow. Bit-identical to the numpy probe (property-tested).
+    Returns None when the native jar isn't on this session's classpath
+    (e.g. the driver's own session) — callers fall back to the Python
+    broadcast probe. Re-registration each cycle destroys the previous
+    cycle's bitset broadcast JVM-side."""
+    spark = candidates.sparkSession
+    if not _native_loaded(spark):
+        return None
+    spark._jvm.crawlspark.nativejvm.BloomProbe.register(
+        spark._jsparkSession, bloom._jdf, "crawlspark_bloom_probe"
+    )
+    return candidates.withColumn(
+        "maybe_seen", F.expr("crawlspark_bloom_probe(part, url_hash)")
+    )
 
 
 def bloom_prefilter(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
@@ -198,7 +232,9 @@ def seen_filter(
         else:
             broadcast_bloom = True
     if broadcast_bloom:
-        probed = bloom_prefilter_broadcast(candidates, bloom)
+        probed = bloom_prefilter_native(candidates, bloom)
+        if probed is None:
+            probed = bloom_prefilter_broadcast(candidates, bloom)
     else:
         probed = bloom_prefilter(candidates, bloom)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")

@@ -64,9 +64,20 @@ _WINDOW = [
 def pin_session(spark) -> None:
     """Pin the runtime confs the oracle comparison depends on — the
     driver runs queries in ITS session, which may not share ours:
-    UTC (timestamp formatting parity with DuckDB) and Arrow batching."""
+    UTC (timestamp formatting parity with DuckDB) and Arrow batching.
+    Also right-size shuffle parallelism + AQE for the sf0.01/sf0.1
+    workloads (a stock session's 200 shuffle partitions just adds task
+    overhead at this scale; results are partitioning-independent —
+    tested across widths in tests/test_properties.py)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        cores = 32
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(64, cores))))
 
 
 def _ordered(pooled: dict) -> dict:

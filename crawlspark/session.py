@@ -8,8 +8,14 @@ transfer to `spark-submit --py-files` on a real cluster.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# JVM-native helpers (Bloom probe) compiled offline by
+# tools/build_native.sh; sessions we build load it, foreign sessions
+# (the driver's) fall back to the Python probe paths automatically.
+NATIVE_JAR = Path(__file__).resolve().parent / "jars" / "crawlspark-native.jar"
 
 
 def get_spark(
@@ -51,6 +57,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if NATIVE_JAR.exists():
+        b = b.config("spark.jars", str(NATIVE_JAR)).config(
+            "spark.driver.extraClassPath", str(NATIVE_JAR)
+        )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
