@@ -404,6 +404,25 @@ FROM documents GROUP BY lang
 """
 
 
+# --- R22 unpivot (stack) — the pivot round-trip ---------------------------
+
+def q45_doc_unpivot(spark, sf):
+    wide = q18_doc_pivot(spark, sf)
+    return wide.select(
+        "lang",
+        F.expr(
+            "stack(5, 'src0_n', src0_n, 'src1_n', src1_n, 'src2_n', src2_n,"
+            " 'src3_n', src3_n, 'src4_n', src4_n) AS (source, n)"
+        ),
+    )
+
+
+SQL45 = f"""
+SELECT lang, source, n FROM ({SQL18}) w
+UNPIVOT (n FOR source IN (src0_n, src1_n, src2_n, src3_n, src4_n))
+"""
+
+
 # --- R23 window dedup-keep-first (C15 shape) ------------------------------
 
 def q19_first_event(spark, sf):
@@ -1039,6 +1058,7 @@ QUERIES = {
     "q35_json_scan": q35_json_scan,
     "q36_csv_scan": q36_csv_scan,
     "q37_sample": q37_sample,
+    "q45_doc_unpivot": q45_doc_unpivot,
 }
 
 ORACLE = {
@@ -1082,4 +1102,5 @@ ORACLE = {
     "q39_local_supplier_volume": SQL39,
     "q35_json_scan": SQL35,
     "q36_csv_scan": SQL36,
+    "q45_doc_unpivot": SQL45,
 }
