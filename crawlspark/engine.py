@@ -73,6 +73,14 @@ class EngineConfig:
     # compact append-heavy tables every N cycles (0 = never): bounds
     # manifest length + small-file count on long crawls
     compact_every: int = 0
+    # maintain url_seen as a bucketed managed-table mirror so the exact
+    # anti-join NEVER shuffles the seen side (Iceberg bucket-transform
+    # analogue; the 10^10-seen design point). The mirror is a derived
+    # index: rebuilt from url_seen whenever its marker doesn't match
+    # the current snapshot, so crashes between commit and mirror
+    # append only cost a rebuild, never correctness.
+    bucketed_seen: bool = False
+    seen_buckets: int = 64
 
 
 class CrawlEngine:
@@ -86,6 +94,56 @@ class CrawlEngine:
 
     def _part(self, col: str = "url_hash"):
         return F.pmod(F.col(col), F.lit(self.cfg.n_seen_parts)).cast("int")
+
+    # -- bucketed url_seen mirror (opt-in) -----------------------------------
+
+    @property
+    def _mirror_table(self) -> str:
+        import hashlib
+
+        tag = hashlib.md5(str(self.cfg.warehouse).encode()).hexdigest()[:10]
+        return f"url_seen_mirror_{tag}"
+
+    def _mirror_marker(self):
+        from pathlib import Path
+
+        return Path(self.cfg.warehouse) / "_SEEN_MIRROR"
+
+    def _ensure_seen_mirror(self, snap) -> str | None:
+        """Return the mirror table name, rebuilding it from url_seen if
+        the marker doesn't match the pinned snapshot (fresh process,
+        crash between commit and mirror append, manual drop, …)."""
+        if not self.cfg.bucketed_seen:
+            return None
+        from .operators import bucketing
+
+        want = f"{self._mirror_table}:{(snap or {}).get('id', 0)}"
+        m = self._mirror_marker()
+        if (
+            m.exists()
+            and m.read_text().strip() == want
+            and self.spark.catalog.tableExists(self._mirror_table)
+        ):
+            return self._mirror_table
+        seen_df = self.cat.read("url_seen", snap).select("url_hash", "url_norm")
+        bucketing.write_bucketed(
+            seen_df, self._mirror_table, "url_hash", self.cfg.seen_buckets
+        )
+        m.write_text(want)
+        return self._mirror_table
+
+    def _mirror_append(self, novel_rows, new_snap: dict) -> None:
+        if not self.cfg.bucketed_seen:
+            return
+        (
+            novel_rows.select("url_hash", "url_norm")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(self.cfg.seen_buckets, "url_hash")
+            .sortBy("url_hash")
+            .saveAsTable(self._mirror_table)
+        )
+        self._mirror_marker().write_text(f"{self._mirror_table}:{new_snap['id']}")
 
     @property
     def _broadcast_bloom(self) -> bool:
@@ -242,7 +300,8 @@ class CrawlEngine:
         cand = schedule.dedup_within_batch(cand).persist()
 
         novel = seen.seen_filter(
-            cand, url_seen, bloom, broadcast_bloom=self._broadcast_bloom
+            cand, url_seen, bloom, broadcast_bloom=self._broadcast_bloom,
+            seen_mirror=self._ensure_seen_mirror(snap),
         ).persist()
         # one cheap action: materializes the probe pipeline into cache
         # (every later consumer reuses it) and gives the TRUE discovery
@@ -401,7 +460,10 @@ class CrawlEngine:
                 ("append", "metrics", metrics, None),
             ]
         )
-        txn.commit(cycle_id=c, meta={"scheduled": n_sched, "discovered": n_novel})
+        new_snap = txn.commit(
+            cycle_id=c, meta={"scheduled": n_sched, "discovered": n_novel}
+        )
+        self._mirror_append(novel_rows, new_snap)
 
         for df in (batch, docs, cand, novel, novel_rows, sched_rows):
             df.unpersist()
@@ -449,10 +511,16 @@ class CrawlEngine:
         txn.overwrite("host_state", hs_latest)
         txn.overwrite("url_seen", self.cat.read("url_seen", snap), partition_by=["part"])
         txn.overwrite("scheduled", self.cat.read("scheduled", snap))
-        return txn.commit(
+        folded = txn.commit(
             cycle_id=(snap or {}).get("cycle_id", 0),
             meta={**(snap or {}).get("meta", {}), "folded": True},
         )
+        # the fold leaves url_seen CONTENT unchanged (file compaction
+        # only) — re-point the mirror marker so the derived index isn't
+        # needlessly rebuilt next cycle
+        if self.cfg.bucketed_seen and self._mirror_marker().exists():
+            self._mirror_marker().write_text(f"{self._mirror_table}:{folded['id']}")
+        return folded
 
     # -- verification views ----------------------------------------------------
 

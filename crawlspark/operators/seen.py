@@ -214,6 +214,7 @@ def bloom_prefilter(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
 def seen_filter(
     candidates: DataFrame, url_seen: DataFrame, bloom: DataFrame,
     broadcast_bloom: bool | None = None,
+    seen_mirror: str | None = None,
 ) -> DataFrame:
     """C4: return only never-seen candidates. Exactness: the Bloom can
     only send extra rows *to* the anti-join, never around it.
@@ -239,7 +240,20 @@ def seen_filter(
         probed = bloom_prefilter(candidates, bloom)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    checked = maybe.join(
-        url_seen.select("url_hash", "url_norm"), ["url_hash", "url_norm"], "left_anti"
-    )
+    if seen_mirror is not None:
+        # bucketed mirror: only the (small) maybe side shuffles into
+        # the bucket layout; the seen table is scan-local. url_norm
+        # rides along as a join condition (collision guard) — bucket
+        # clustering on url_hash still satisfies the distribution.
+        from . import bucketing
+
+        checked = bucketing.colocated_anti_join(
+            maybe, candidates.sparkSession, seen_mirror,
+            ["url_hash", "url_norm"],
+        )
+    else:
+        checked = maybe.join(
+            url_seen.select("url_hash", "url_norm"),
+            ["url_hash", "url_norm"], "left_anti",
+        )
     return definitely_new.unionByName(checked)

@@ -249,6 +249,43 @@ def test_engine_auto_compaction(spark):
     assert f2.count() == still_active_1
 
 
+# -- bucketed url_seen mirror: engine equivalence + rebuild-on-loss --------
+
+def test_engine_bucketed_seen_mirror(spark):
+    """bucketed_seen=True must reproduce the exact crawl (ordering +
+    seen set) of the plain anti-join engine, including across a mirror
+    loss mid-crawl (fresh process / crash between commit and mirror
+    append ⇒ marker mismatch ⇒ rebuild from url_seen)."""
+    import shutil
+    import urllib.parse
+
+    g = UNIT
+    base = CrawlEngine(spark, EngineConfig(graph=g, warehouse=tempfile.mkdtemp()))
+    base.run()
+    order_base = [
+        tuple(r) for r in base.crawl_order().select("cycle_id", "batch_pos", "url_norm").collect()
+    ]
+    seen_base = sorted(r["url_norm"] for r in base.seen_set().collect())
+
+    wh = tempfile.mkdtemp()
+    cfg = EngineConfig(graph=g, warehouse=wh, bucketed_seen=True,
+                       seen_buckets=8, compact_every=2)
+    m = CrawlEngine(spark, cfg)
+    m.run(max_cycles=2)
+    spark.sql(f"DROP TABLE IF EXISTS {m._mirror_table}")
+    whdir = urllib.parse.urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{whdir}/{m._mirror_table.lower()}", ignore_errors=True)
+    m2 = CrawlEngine(spark, cfg)
+    m2.run()
+    order_m = [
+        tuple(r) for r in m2.crawl_order().select("cycle_id", "batch_pos", "url_norm").collect()
+    ]
+    seen_m = sorted(r["url_norm"] for r in m2.seen_set().collect())
+    assert order_m == order_base
+    assert seen_m == seen_base
+    assert spark.table(m2._mirror_table).count() == len(seen_m)
+
+
 # -- query-surface determinism across shuffle partitionings ----------------
 
 def test_queries_deterministic_across_partitioning(spark):
