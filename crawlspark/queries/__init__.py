@@ -73,11 +73,15 @@ def pin_session(spark) -> None:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    try:
-        cores = spark.sparkContext.defaultParallelism
-    except Exception:
-        cores = 32
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(64, cores))))
+    # only right-size a stock session (200 = Spark's untouched default);
+    # a deliberately tuned width — e.g. the determinism-across-widths
+    # test, or an operator-provided conf — is left alone
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        try:
+            cores = spark.sparkContext.defaultParallelism
+        except Exception:
+            cores = 32
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(64, cores))))
 
 
 def _ordered(pooled: dict) -> dict:
