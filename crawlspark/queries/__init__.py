@@ -61,6 +61,41 @@ _WINDOW = [
 ]
 
 
+_SHIPPED_SESSIONS: set = set()
+
+
+def _ship_package(spark) -> None:
+    """Make `crawlspark` importable inside the session's Python
+    WORKERS. The driver's own session may have been launched from a
+    working directory that doesn't contain the repo — driver-side
+    sys.path hacks don't propagate to workers, and every crawl/engine
+    query ships pandas/Arrow UDFs that unpickle by importing
+    crawlspark.* there. addPyFile at runtime is the sanctioned fix
+    (it is also exactly what `spark-submit --py-files` would do)."""
+    import os
+    import tempfile
+    import zipfile
+
+    sid = id(spark.sparkContext)
+    if sid in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"crawlspark_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. already added under another name — workers are fine
+    _SHIPPED_SESSIONS.add(sid)
+
+
 def pin_session(spark) -> None:
     """Pin the runtime confs the oracle comparison depends on — the
     driver runs queries in ITS session, which may not share ours:
@@ -68,7 +103,9 @@ def pin_session(spark) -> None:
     Also right-size shuffle parallelism + AQE for the sf0.01/sf0.1
     workloads (a stock session's 200 shuffle partitions just adds task
     overhead at this scale; results are partitioning-independent —
-    tested across widths in tests/test_properties.py)."""
+    tested across widths in tests/test_properties.py), and ship the
+    package zip to the session's Python workers."""
+    _ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
