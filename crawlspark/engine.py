@@ -165,9 +165,27 @@ class CrawlEngine:
         exists (C16 exact resume), else seeds cycle 0."""
         snap = self.cat.current_snapshot()
         if snap is not None:
-            self.max_seq = (
-                self.cat.read("frontier", snap).agg(F.max("seq")).collect()[0][0] or 0
-            )
+            meta = snap.get("meta") or {}
+            if "max_seq" in meta:
+                # authoritative: fold_state prunes resolved rows from the
+                # frontier, so max(frontier.seq) under-counts whenever the
+                # highest-seq discoveries were already fetched — resuming
+                # from that would reissue seq numbers and break the
+                # globally-unique deterministic sequence contract (C16/C18)
+                self.max_seq = int(meta["max_seq"])
+            else:
+                # legacy snapshots without the meta field: take the max
+                # over the scheduled log too, which retains every row the
+                # fold may have dropped from the frontier
+                f_max = (
+                    self.cat.read("frontier", snap).agg(F.max("seq")).collect()[0][0]
+                    or 0
+                )
+                s_max = (
+                    self.cat.read("scheduled", snap).agg(F.max("seq")).collect()[0][0]
+                    or 0
+                )
+                self.max_seq = max(f_max, s_max)
             return snap
 
         g = self.cfg.graph
@@ -216,7 +234,7 @@ class CrawlEngine:
         txn.overwrite("host_state", hs0)
         txn.overwrite("host_config", hc)
         txn.append("metrics", m0)
-        snap = txn.commit(cycle_id=0, meta={"n_seeds": n_seeds})
+        snap = txn.commit(cycle_id=0, meta={"n_seeds": n_seeds, "max_seq": n_seeds})
         frontier0.unpersist()
         return snap
 
@@ -299,7 +317,10 @@ class CrawlEngine:
         cand = cand.withColumn("part", self._part())
         cand = schedule.dedup_within_batch(cand).persist()
 
-        novel = seen.seen_filter(
+        # keep the persisted probe result under its own name: unpersist
+        # needs the exact cached plan, so rebinding this to the
+        # assign_seq output would leak one cache entry per cycle
+        novel_probed = seen.seen_filter(
             cand, url_seen, bloom, broadcast_bloom=self._broadcast_bloom,
             seen_mirror=self._ensure_seen_mirror(snap),
         ).persist()
@@ -308,9 +329,9 @@ class CrawlEngine:
         # count, so the two-phase distributed rank runs only when the
         # single-window path would actually funnel >64k rows through
         # one task — batch_size alone overestimates at low out-degrees.
-        n_discovered = novel.count()
+        n_discovered = novel_probed.count()
         novel = schedule.assign_seq(
-            novel, self.max_seq,
+            novel_probed, self.max_seq,
             distributed=n_discovered > schedule.SMALL_BATCH_MAX,
         )
         novel_rows = (
@@ -461,11 +482,12 @@ class CrawlEngine:
             ]
         )
         new_snap = txn.commit(
-            cycle_id=c, meta={"scheduled": n_sched, "discovered": n_novel}
+            cycle_id=c,
+            meta={"scheduled": n_sched, "discovered": n_novel, "max_seq": self.max_seq},
         )
         self._mirror_append(novel_rows, new_snap)
 
-        for df in (batch, docs, cand, novel, novel_rows, sched_rows):
+        for df in (batch, docs, cand, novel_probed, novel_rows, sched_rows):
             df.unpersist()
         schedule.release_scratch()
         seen.release_broadcasts(self.spark)

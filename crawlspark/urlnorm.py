@@ -118,13 +118,23 @@ def _resolve_dots_arrow(path):
     '/./' collapses, '<seg>/..' pops (empty segments pop too);
     property- and fuzz-tested equal. This keeps dot-segment URLs — the
     most common messy variant in link graphs — on the vectorized fast
-    path instead of per-row Python."""
+    path instead of per-row Python.
+
+    The pop rule must never consume a '.' or '..' as the popped
+    segment: a single '/./'-collapse pass leaves overlapping-match
+    residue (e.g. '/a/././..' → '/a/./..'), and a pop rule with a bare
+    [^/]* would then eat the dot instead of the real parent, yielding
+    '/a' where the reference gives '/'. RE2 has no lookahead, so the
+    exclusion is spelled out: the popped segment is empty, starts with
+    a non-dot, is '.'+non-dot+rest, or is '..'+at-least-one-char.
+    """
     import pyarrow.compute as pc
 
+    pop_seg = r"(?:\.\.[^/]+|\.[^/.][^/]*|[^/.][^/]*)?"
     for _ in range(64):
         new = pc.replace_substring_regex(path, r"^(/\.\.)+(/|$)", r"\2")
         new = pc.replace_substring_regex(new, r"/\.(/|$)", r"\1")
-        new = pc.replace_substring_regex(new, r"/[^/]*/\.\.(/|$)", r"\1")
+        new = pc.replace_substring_regex(new, "/" + pop_seg + r"/\.\.(/|$)", r"\1")
         if new.equals(path):
             break
         path = new
@@ -150,7 +160,12 @@ def _port_ok(port):
 
 def _norm_query(q: str) -> str:
     """Identical to parse_qsl(keep_blank_values)→drop tracking→sort→
-    urlencode for queries in the _MID_PATTERN charset."""
+    urlencode for queries in the _MID_PATTERN charset. Within that
+    charset the only char urlencode escapes is a '=' inside the value
+    (keys stop at the first '='; '&' splits pairs; the rest are
+    quote_plus-safe), and the sort must run on the DECODED value —
+    which equals the raw text here since '%' is outside the charset —
+    before the '=' → %3D escape is applied."""
     if not q:
         return ""
     pairs = []
@@ -161,7 +176,7 @@ def _norm_query(q: str) -> str:
         if not _TRACKING.match(k):
             pairs.append((k, v))
     pairs.sort()
-    return "&".join(f"{k}={v}" for k, v in pairs)
+    return "&".join(f"{k}={v.replace('=', '%3D')}" for k, v in pairs)
 
 
 def canonicalize_series(urls: pd.Series) -> pd.Series:

@@ -148,6 +148,47 @@ def test_resume_bit_identical(spark):
     assert da == db
 
 
+def test_resume_after_fold_no_seq_reuse(spark):
+    """fold_state prunes resolved rows from the frontier; if the
+    highest-seq discoveries were already fetched, a resumed engine that
+    recomputed max_seq from the pruned frontier would reissue seq
+    numbers. Resume must restore max_seq from the commit meta and the
+    crawl must stay bit-identical to an uninterrupted run."""
+    wh1 = tempfile.mkdtemp()
+    e1 = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=wh1, compact_every=1))
+    e1.run()
+
+    wh2 = tempfile.mkdtemp()
+    cfg2 = EngineConfig(graph=UNIT, warehouse=wh2, compact_every=1)
+    e2 = CrawlEngine(spark, cfg2)
+    e2.bootstrap()
+    e2.run_cycle(1)
+    e2.fold_state()  # "crash" right after a fold — worst case for resume
+    e3 = CrawlEngine(spark, cfg2)
+    e3.bootstrap()
+    assert e3.max_seq == e2.max_seq, "resume must restore max_seq from meta"
+    e3.run()
+
+    for table, key in [
+        ("scheduled", ["cycle_id", "batch_pos", "url_norm", "url_hash", "score", "seq"]),
+        ("url_seen", ["url_norm", "url_hash", "first_cycle"]),
+    ]:
+        a = sorted(map(tuple, e1.cat.read(table).select(*key).collect()))
+        b = sorted(map(tuple, e3.cat.read(table).select(*key).collect()))
+        assert a == b, table
+
+    # seq is globally unique: one seq per distinct URL across the whole
+    # crawl history (scheduled log ∪ active frontier)
+    hist = (
+        e3.cat.read("scheduled").select("url_norm", "seq")
+        .unionByName(e3.cat.read("frontier").select("url_norm", "seq"))
+        .distinct()
+    )
+    n_urls = hist.select("url_norm").distinct().count()
+    n_seqs = hist.select("seq").distinct().count()
+    assert hist.count() == n_urls == n_seqs
+
+
 # -- catalog compaction (manifest growth control) -------------------------
 
 def test_catalog_compaction_preserves_content(spark):

@@ -4,7 +4,7 @@ vectorized fast path vs the per-URL reference implementation."""
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from crawlspark.synth import UNIT, GraphConfig
@@ -92,14 +92,32 @@ def test_fast_path_equals_reference_fuzz(u):
 
 
 @settings(max_examples=400, deadline=None)
-@given(st.text(alphabet="./ab", min_size=0, max_size=24))
+@given(st.text(alphabet="./abA%", min_size=0, max_size=24))
+@example("a/././..")           # r2 counterexample: single-pass '/./'
+@example("a/./../.")           # collapse left residue the pop rule ate
+@example("a/.././..")
+@example("./a/././../..")
+@example("..a/../..")
+@example(".a/./..")
 def test_dot_segment_fuzz(p):
     """The vectorized RE2 dot-segment resolver must equal the per-URL
-    reference on arbitrary ./ soup paths."""
+    reference on arbitrary ./ soup paths (incl. %-escapes and uppercase,
+    which route through the mid/slow paths)."""
     u = "http://example.com/" + p
     got = canonicalize_series(pd.Series([u])).iloc[0]
     want = canonicalize_one(u)
     assert got == want, (u, got, want)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="./ab?#=&", min_size=0, max_size=24))
+def test_dot_segment_query_fuzz(p):
+    """Dot-segment soup with query/fragment chars — exercises the mid
+    path's dot resolver against the reference."""
+    u = "http://example.com/" + p
+    got = canonicalize_series(pd.Series([u])).iloc[0]
+    want = canonicalize_one(u)
+    assert (got is None and want is None) or got == want, (u, got, want)
 
 
 @settings(max_examples=200, deadline=None)
