@@ -143,4 +143,8 @@ def all_oracles():
     pooled = {}
     for m in _MODULES:
         pooled.update(m.ORACLE)
+        if hasattr(m, "build_oracle"):
+            # refsim-generated oracles (crawl_oracle.py) are built at
+            # call time — they write expectation parquet under /tmp
+            pooled.update(m.build_oracle())
     return _ordered(pooled)

@@ -1,0 +1,224 @@
+"""Refsim-generated DuckDB oracles for the crawl queries (q80–q85).
+
+The crawl tables aren't in the driver's DuckDB view set, so their
+oracle SQL can't be written against pre-registered views. But every
+crawl query is DETERMINISTIC over the UNIT graph config, and the
+pure-Python refsim (crawlspark/refsim.py — beanstalkd drain semantics,
+plain dicts, no Spark) computes the exact expected rows. At
+``oracle_sql()`` call time we run the refsim, write its expectation to
+parquet under /tmp with column types mirroring the Spark schema, and
+emit ``SELECT … FROM read_parquet('…')`` — turning the north-star
+contract (ordering, URL-seen set, span sequences, per-cycle counters,
+link graph) into genuine engine-vs-refsim checks through the driver's
+own row/schema/value-hash harness.
+
+Parity building blocks, all independent re-implementations of public
+definitions (never calls into the engine dataflow):
+- ``purehash.xxhash64_str`` — XXH64 (public spec) == Spark
+  ``F.xxhash64`` on strings, for url_hash / media kind buckets;
+- span signature = md5-60 of the Jackson-style compact JSON of the
+  span array (== ``F.to_json`` byte-for-byte on this ASCII corpus);
+- blob/feature stubs recomputed from their blake2b definitions
+  (crawlspark/multimodal.py docstrings);
+- PageRank by dict-based power iteration with the same damped
+  dangling-mass formula, rounded half-up to 6 dp on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from decimal import ROUND_HALF_UP, Decimal
+
+from ..purehash import xxhash64_str
+from ..refsim import RefSim, RefSimResult
+from ..synth import UNIT, GraphConfig
+
+# bump when any expected-output definition changes so stale parquet
+# from an earlier code version is never served to the harness
+_VERSION = 3
+
+
+def _md5_60(s: str) -> int:
+    """Twin of portable.md5hash60 (first 15 md5 hex digits as a long)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _span_json(spans: list[dict]) -> str:
+    """``F.to_json`` twin for array<struct<kind,text,media_ref,offset>>:
+    compact separators, schema field order, raw UTF-8."""
+    ordered = [
+        {
+            "kind": s["kind"],
+            "text": s["text"],
+            "media_ref": s["media_ref"],
+            "offset": s["offset"],
+        }
+        for s in spans
+    ]
+    return json.dumps(ordered, separators=(",", ":"), ensure_ascii=False)
+
+
+def _round6_half_up(x: float) -> float:
+    """Twin of Spark ``F.round(col, 6)`` on doubles: shortest-repr
+    decimal (Double.toString == repr), HALF_UP, back to nearest double."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _stub_media_rows(docs: dict) -> list[tuple]:
+    """Expected q84 rows: media spans → deterministic blob → stub
+    features (definitions from crawlspark/multimodal.py, recomputed
+    here from their blake2b specs)."""
+    rows = []
+    for doc_id, (_c, spans) in docs.items():
+        for s in spans:
+            if s["kind"] != "media":
+                continue
+            ref = s["media_ref"]
+            h = hashlib.blake2b(ref.encode(), digest_size=32).digest()
+            size = 256 + h[0] * 16
+            blob = (h * (size // 32 + 1))[:size]
+            kind = ["video", "audio", "image"][xxhash64_str(ref) % 3]
+            fh = hashlib.blake2b(blob, digest_size=16 + 8).digest()
+            width = 64 + fh[0] * 4
+            height = 64 + fh[1] * 4
+            n_frames = 1 if kind == "image" else 8 + fh[2] % 120
+            rows.append((ref, doc_id, kind, size, width, height, n_frames, "stub"))
+    return rows
+
+
+def _pagerank(edges: list[tuple[str, str]], damping: float, iterations: int):
+    """Dict-based damped PageRank with uniform dangling redistribution
+    — the textbook formulation crawlspark/operators/graph.py mirrors."""
+    es = sorted(set(edges))
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    n = len(nodes)
+    deg: dict[str, int] = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {u: 1.0 for u in nodes}
+    for _ in range(iterations):
+        inflow: dict[str, float] = {}
+        for s, d in es:
+            inflow[d] = inflow.get(d, 0.0) + ranks[s] / deg[s]
+        dangling = sum(r for u, r in ranks.items() if u not in deg)
+        ranks = {
+            u: (1.0 - damping)
+            + damping * dangling / n
+            + damping * inflow.get(u, 0.0)
+            for u in nodes
+        }
+    return [(u, _round6_half_up(r)) for u, r in ranks.items()]
+
+
+def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
+    """name -> (columns, pyarrow schema DDL, rows)."""
+    import pyarrow as pa  # noqa: F401  (schema built below)
+
+    q80 = [
+        (c, p, u, xxhash64_str(u), host, score, seq, depth, att, ok)
+        for (c, p, u, host, score, seq, depth, att, ok) in res.order
+    ]
+    q81 = sorted(res.seen.items())
+    q82 = [
+        (u, c, len(spans), sum(1 for s in spans if s["kind"] == "media"),
+         _md5_60(_span_json(spans)))
+        for u, (c, spans) in res.docs.items()
+    ]
+    q83 = list(res.cycles)
+    q84 = _stub_media_rows(res.docs)
+    q85 = _pagerank(res.edges, damping=0.85, iterations=6)
+    return {
+        "q80_crawl_order": (
+            ["cycle_id", "batch_pos", "url_norm", "url_hash", "host",
+             "score", "seq", "depth", "attempt", "ok"],
+            "cycle_id int64, batch_pos int64, url_norm string, url_hash int64,"
+            " host string, score int64, seq int64, depth int32, attempt int32, ok bool",
+            q80,
+        ),
+        "q81_crawl_seen": (
+            ["url_norm", "first_cycle"],
+            "url_norm string, first_cycle int64",
+            q81,
+        ),
+        "q82_crawl_docs": (
+            ["doc_id", "fetch_cycle", "n_spans", "n_media", "span_sig"],
+            "doc_id string, fetch_cycle int64, n_spans int32, n_media int32,"
+            " span_sig int64",
+            q82,
+        ),
+        "q83_crawl_metrics": (
+            ["cycle_id", "urls_in", "urls_deduped", "urls_scheduled", "docs_written"],
+            "cycle_id int64, urls_in int64, urls_deduped int64,"
+            " urls_scheduled int64, docs_written int64",
+            q83,
+        ),
+        "q84_media_features": (
+            ["media_ref", "doc_id", "kind", "n_bytes", "width", "height",
+             "n_frames", "decoder"],
+            "media_ref string, doc_id string, kind string, n_bytes int64,"
+            " width int32, height int32, n_frames int32, decoder string",
+            q84,
+        ),
+        "q85_pagerank": (
+            ["id", "rank"],
+            "id string, rank double",
+            q85,
+        ),
+    }
+
+
+_TYPE = {
+    "int64": "int64", "int32": "int32", "string": "string",
+    "bool": "bool_", "double": "float64",
+}
+
+_NAMES = [
+    "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
+    "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
+]
+
+
+def build_crawl_oracles(cfg: GraphConfig = UNIT) -> dict[str, str]:
+    """Run the refsim, persist expectations as typed parquet, return
+    ``{query_name: duckdb_sql}``. Idempotent per (config, version):
+    regenerated only when the tagged directory is missing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(f"v{_VERSION}|{cfg!r}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"crawlspark_refsim_oracle_{tag}")
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        res = RefSim(cfg).run()
+        tables = _tables(res)
+        tmp = tempfile.mkdtemp(prefix=f"{out_dir}.stage-")
+        for name, (cols, ddl, rows) in tables.items():
+            fields = []
+            for part in ddl.split(","):
+                col, typ = part.strip().rsplit(" ", 1)
+                fields.append(pa.field(col, getattr(pa, _TYPE[typ])()))
+            schema = pa.schema(fields)
+            arrays = [
+                pa.array([r[i] for r in rows], type=schema.field(i).type)
+                for i in range(len(cols))
+            ]
+            pq.write_table(
+                pa.Table.from_arrays(arrays, schema=schema),
+                os.path.join(tmp, f"{name}.parquet"),
+            )
+        open(os.path.join(tmp, "_DONE"), "w").write(tag)
+        try:
+            os.replace(tmp, out_dir)
+        except OSError:
+            # lost a benign race with a concurrent builder — theirs is
+            # byte-identical (everything here is deterministic)
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        name: f"SELECT * FROM read_parquet('{out_dir}/{name}.parquet')"
+        for name in _NAMES
+    }

@@ -1,8 +1,14 @@
-"""Crawl-engine queries — the core frontier/scheduler semantics,
-exposed to the driver as rows-only checks (the crawl tables are not in
-the DuckDB view set; their semantics are oracle-checked against the
-pure-Python refsim in tests/test_refsim_equivalence.py instead:
-identical crawl ordering, URL-seen set, and span sequences).
+"""Crawl-engine queries — the core frontier/scheduler semantics.
+
+The crawl tables are not in the driver's DuckDB view set, but every
+query here is deterministic over the UNIT graph, so each gets a REAL
+driver-checked oracle: `build_oracle` runs the pure-Python refsim
+(crawlspark/refsim.py — beanstalkd drain semantics, no Spark) at
+``oracle_sql()`` call time, writes its expected rows to parquet, and
+emits ``read_parquet`` SQL (crawl_oracle.py). The driver's
+rows/schema/value-hash comparison then checks the engine against the
+reference semantics directly — ordering, URL-seen set, span
+signatures, per-cycle counters, media features, PageRank.
 
 One UNIT-config crawl runs per process (memoized) in a tmp warehouse;
 all four queries read its committed snapshot tables.
@@ -109,3 +115,11 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {}
+
+
+def build_oracle() -> dict[str, str]:
+    """Refsim-generated DuckDB oracles (see crawl_oracle.py); called
+    lazily by ``all_oracles`` so importing the registry stays free."""
+    from .crawl_oracle import build_crawl_oracles
+
+    return build_crawl_oracles(UNIT)

@@ -1,0 +1,158 @@
+"""refsim — single-threaded reference-semantics simulator (SURVEY.md §5.2).
+
+A deliberately trivial stand-in for the reference crawler's runtime
+semantics (beanstalkd drain: priority ascending, FIFO within equal
+priority; exact URL-seen set; per-host crawl-delay token budgets),
+recast as the same batch micro-cycles the north_rule prescribes. Plain
+dicts and a sorted scan — its correctness is inspectable — and it is
+the oracle for the non-SQL crawl invariants: crawl ordering, final
+URL-seen set, per-document span sequences, per-cycle counters, and the
+discovery link graph.
+
+Shares ONLY the pure content definitions with the engine (synth page
+generator, canonicalizer, robots decision) — none of the engine's
+scheduling / dedup / politeness dataflow. It lives inside the package
+(rather than tests/) only so the driver-facing oracle generator in
+``crawlspark.queries.crawl_oracle`` can import it without relying on a
+generically-named top-level ``tests`` package being importable from
+the driver's process; tests/refsim.py re-exports it.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from urllib.parse import urljoin, urlsplit
+
+from .synth import GraphConfig, extract_links_from_text, robots_allowed
+from .urlnorm import canonicalize_one
+
+
+@dataclass
+class RefSimResult:
+    # one row per fetch attempt, in execution order:
+    # (cycle_id, batch_pos, url_norm, host, score, seq, depth, attempt, ok)
+    order: list[tuple] = field(default_factory=list)
+    # url_norm -> first_cycle (the exact URL-seen set)
+    seen: dict[str, int] = field(default_factory=dict)
+    # url_norm -> (fetch_cycle, spans)
+    docs: dict[str, tuple[int, list[dict]]] = field(default_factory=dict)
+    # discovery lineage: (parent url_norm, discovered url_norm)
+    edges: list[tuple[str, str]] = field(default_factory=list)
+    # per-cycle counters matching the engine's metrics rollup:
+    # (cycle_id, urls_in, urls_deduped, urls_scheduled, docs_written)
+    cycles: list[tuple[int, int, int, int, int]] = field(default_factory=list)
+
+    # backward-compatible unpacking: order, seen, docs
+    def __iter__(self):
+        return iter(
+            (
+                [(c, p, u, a, ok) for (c, p, u, _h, _s, _q, _d, a, ok) in self.order],
+                self.seen,
+                self.docs,
+            )
+        )
+
+
+class RefSim:
+    def __init__(self, cfg: GraphConfig):
+        self.cfg = cfg
+
+    def run(self, max_cycles: int | None = None) -> RefSimResult:
+        cfg = self.cfg
+        hosts = [cfg.host(i) for i in range(cfg.n_sites)]
+        rules = {h: cfg.robots_rules(i) for i, h in enumerate(hosts)}
+        prio = {h: cfg.site_priority(i) for i, h in enumerate(hosts)}
+        cap = {h: cfg.token_capacity(i) for i, h in enumerate(hosts)}
+        refill = {h: cfg.refill_per_cycle(i) for i, h in enumerate(hosts)}
+        tokens = dict(cap)
+
+        res = RefSimResult()
+        seen = res.seen
+        queued: dict[str, tuple] = {}      # url_norm -> (score, seq, depth, host)
+        attempts: dict[str, int] = {}      # url_norm -> failed attempts so far
+        max_retries = cfg.max_retries
+        seq = 0
+        # per-cycle counter scratch: distinct robots-allowed candidates
+        # discovered this cycle (the engine's post-dedup `cand` set) and
+        # how many of those were novel vs the seen set
+        cyc_cands: set[str] = set()
+        cyc_novel = 0
+
+        def admit(raw: str, depth: int, cycle: int, base: str | None = None) -> None:
+            nonlocal seq, cyc_novel
+            u = canonicalize_one(urljoin(base, raw) if base else raw)
+            if u is None:
+                return
+            sp = urlsplit(u)
+            host, path = sp.hostname, sp.path or "/"
+            if host not in rules:
+                return
+            if not robots_allowed(path, rules[host]):
+                return
+            if base is not None:
+                cyc_cands.add(u)
+            if u in seen:
+                return
+            seen[u] = cycle
+            if base is not None:
+                cyc_novel += 1
+                res.edges.append((base, u))
+            seq += 1
+            queued[u] = (depth + prio[host], seq, depth, host)
+
+        for raw in cfg.seeds():
+            admit(raw, 0, 0)
+
+        mc = max_cycles if max_cycles is not None else cfg.max_cycles
+        for c in range(1, mc + 1):
+            if not queued:
+                break
+            urls_in = len(queued)
+            allow = {}
+            for h in hosts:
+                tokens[h] = min(cap[h], tokens[h] + refill[h])
+                allow[h] = math.floor(tokens[h])
+            # beanstalkd drain: scan in (priority, FIFO) order, honor
+            # per-host allowance, stop at batch_size
+            batch = []
+            for u, (score, s, depth, host) in sorted(
+                queued.items(), key=lambda kv: (kv[1][0], kv[1][1])
+            ):
+                if allow[host] > 0:
+                    allow[host] -= 1
+                    batch.append((u, score, s, depth, host))
+                    if len(batch) == cfg.batch_size:
+                        break
+            if not batch:
+                break
+            cyc_cands.clear()
+            cyc_novel = 0
+            n_docs = 0
+            for pos, (u, score, s, depth, host) in enumerate(batch, 1):
+                del queued[u]
+                tokens[host] -= 1
+                i, j = cfg.url_to_page(u)
+                attempt = attempts.get(u, 0) + 1
+                ok = cfg.fetch_ok(i, j, attempt)
+                res.order.append((c, pos, u, host, score, s, depth, attempt, ok))
+                if not ok:
+                    # TTR analogue: the attempt consumed a token and a
+                    # batch slot; the URL re-queues with its ORIGINAL
+                    # (score, seq) — FIFO position preserved — unless
+                    # retries are exhausted
+                    attempts[u] = attempt
+                    if attempt < max_retries:
+                        queued[u] = (score, s, depth, host)
+                    continue
+                n_docs += 1
+                spans = cfg.page_spans(i, j)
+                res.docs[u] = (c, spans)
+                for span in spans:
+                    if span["kind"] == "text":
+                        for raw in extract_links_from_text(span["text"]):
+                            admit(raw, depth + 1, c, base=u)
+            res.cycles.append(
+                (c, urls_in, len(cyc_cands) - cyc_novel, len(batch), n_docs)
+            )
+        return res

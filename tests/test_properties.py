@@ -355,3 +355,28 @@ def test_queries_deterministic_across_partitioning(spark):
             spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert results["7"][n] == results[old][n], n
+
+
+# -- pure-Python XXH64 == Spark xxhash64 (oracle-side hash parity) --------
+
+def test_pure_xxh64_matches_spark(spark):
+    """crawlspark/purehash.py re-implements the public XXH64 spec; the
+    refsim oracles rely on it matching Spark's JVM xxhash64 bit-for-bit
+    on UTF-8 strings of every length class (sub-4, sub-8, sub-32, 32+)
+    including non-ASCII."""
+    import random
+
+    from crawlspark.purehash import xxhash64_str
+
+    rng = random.Random(1234)
+    corpus = ["", "a", "ab", "abc", "abcd", "ü", "üñïçødé", "☃" * 11]
+    alphabet = "abcXYZ019/:.?&=_-%é☃"
+    corpus += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "u string")
+    rows = df.select("u", F.xxhash64("u").alias("h")).collect()
+    assert len(rows) == len(corpus)
+    for r in rows:
+        assert r["h"] == xxhash64_str(r["u"])

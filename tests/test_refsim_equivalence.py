@@ -1,7 +1,8 @@
-"""The three reference-semantics gates (BASELINE.json north_star):
-identical crawl ordering, identical final URL-seen set, and
-per-document span-sequence equality — Spark engine vs refsim, same
-seed list + politeness budget.
+"""The reference-semantics gates (BASELINE.json north_star): identical
+crawl ordering (full scheduled rows incl. score/seq/depth), identical
+final URL-seen set, per-document span-sequence equality, per-cycle
+counter equality, and discovery-graph equality — Spark engine vs
+refsim, same seed list + politeness budget.
 """
 
 import pytest
@@ -11,36 +12,51 @@ from crawlspark.synth import UNIT
 
 from .refsim import RefSim
 
+ORDER_COLS = [
+    "cycle_id", "batch_pos", "url_norm", "host", "score", "seq",
+    "depth", "attempt", "ok",
+]
+
+
+def engine_order(eng):
+    return [tuple(r[c] for c in ORDER_COLS) for r in eng.crawl_order().collect()]
+
 
 @pytest.fixture(scope="module")
 def run_pair(spark, tmp_path_factory):
     wh = tmp_path_factory.mktemp("wh-equiv")
     eng = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=str(wh)))
     eng.run()
-    ref_order, ref_seen, ref_docs = RefSim(UNIT).run()
-    return eng, ref_order, ref_seen, ref_docs
+    return eng, RefSim(UNIT).run()
 
 
 def test_crawl_ordering_identical(run_pair):
-    eng, ref_order, _, _ = run_pair
-    got = [
-        (r["cycle_id"], r["batch_pos"], r["url_norm"], r["attempt"], r["ok"])
-        for r in eng.crawl_order().collect()
-    ]
+    eng, res = run_pair
+    got = engine_order(eng)
     assert len(got) > 0
-    assert any(not ok for *_, ok in got), "failure model should fire"
-    assert got == ref_order
+    assert any(not r[-1] for r in got), "failure model should fire"
+    assert got == res.order
+
+
+def test_url_hash_matches_pure_xxh64(run_pair):
+    """C2 bit-parity: the engine's JVM xxhash64 equals the oracle-side
+    pure-Python XXH64 on every scheduled URL."""
+    from crawlspark.purehash import xxhash64_str
+
+    eng, _ = run_pair
+    rows = eng.crawl_order().select("url_norm", "url_hash").collect()
+    assert rows and all(r["url_hash"] == xxhash64_str(r["url_norm"]) for r in rows)
 
 
 def test_url_seen_set_identical(run_pair):
-    eng, _, ref_seen, _ = run_pair
+    eng, res = run_pair
     got = {r["url_norm"]: r["first_cycle"] for r in eng.seen_set().collect()}
-    assert got == ref_seen
+    assert got == res.seen
 
 
 def test_span_sequence_equality(run_pair):
     """input_hint invariant: per-document (kind, text, media_ref, order)."""
-    eng, _, _, ref_docs = run_pair
+    eng, res = run_pair
     rows = eng.documents().collect()
     got = {
         r["doc_id"]: (
@@ -51,32 +67,73 @@ def test_span_sequence_equality(run_pair):
     }
     want = {
         u: (c, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
-        for u, (c, spans) in ref_docs.items()
+        for u, (c, spans) in res.docs.items()
     }
     assert got == want
 
 
+def test_span_sig_json_parity(run_pair):
+    """q82's span signature: Spark to_json == the oracle's compact-JSON
+    twin, byte-for-byte, on every fetched document."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.queries.crawl_oracle import _span_json
+
+    eng, res = run_pair
+    rows = eng.documents().select("doc_id", F.to_json("spans").alias("j")).collect()
+    assert rows
+    for r in rows:
+        assert r["j"] == _span_json(res.docs[r["doc_id"]][1])
+
+
+def test_cycle_metrics_identical(run_pair):
+    """C17: the engine's per-cycle metrics rollup equals the refsim's
+    counters (queued in, deduped, scheduled, docs written)."""
+    from pyspark.sql import functions as F
+
+    eng, res = run_pair
+    m = (
+        eng.cat.read("metrics")
+        .filter(F.col("part") >= 0)
+        .groupBy("cycle_id")
+        .agg(
+            F.sum("urls_in").alias("i"),
+            F.sum("urls_deduped").alias("d"),
+            F.sum("urls_scheduled").alias("s"),
+            F.sum("docs_written").alias("w"),
+        )
+        .collect()
+    )
+    got = sorted((r["cycle_id"], r["i"], r["d"], r["s"], r["w"]) for r in m)
+    assert got == res.cycles
+
+
+def test_edges_identical(run_pair):
+    """Discovery lineage: the engine's edges table == refsim's
+    (parent, child) first-discovery pairs."""
+    eng, res = run_pair
+    got = {(r["src"], r["dst"]) for r in eng.cat.read("edges").collect()}
+    assert got == set(res.edges)
+    assert len(res.edges) == len(set(res.edges)), "first-discovery edges are unique"
+
+
 def test_deterministic_across_parallelism(spark, tmp_path_factory, run_pair):
     """C18 gate: identical outputs when shuffle parallelism changes."""
-    eng, ref_order, _, _ = run_pair
+    _, res = run_pair
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "13")
     try:
         wh = tmp_path_factory.mktemp("wh-par13")
         eng2 = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=str(wh)))
         eng2.run()
-        got = [
-            (r["cycle_id"], r["batch_pos"], r["url_norm"], r["attempt"], r["ok"])
-            for r in eng2.crawl_order().collect()
-        ]
-        assert got == ref_order
+        assert engine_order(eng2) == res.order
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def test_equivalence_at_t2_scale(spark, tmp_path_factory):
-    """Same three gates at a 50-site / ~2.8k-page / 8-cycle graph with
-    a mega-host (Zipf head) — exercises the salted cap and large-batch
+    """Same gates at a 24-site / ~1.3k-page / 5-cycle graph with a
+    mega-host (Zipf head) — exercises the salted cap and large-batch
     paths the UNIT graph cannot reach."""
     from crawlspark.synth import GraphConfig
 
@@ -85,22 +142,19 @@ def test_equivalence_at_t2_scale(spark, tmp_path_factory):
     wh = tmp_path_factory.mktemp("wh-t2")
     eng = CrawlEngine(spark, EngineConfig(graph=g, warehouse=str(wh), n_salt=4))
     eng.run()
-    ref_order, ref_seen, ref_docs = RefSim(g).run()
+    res = RefSim(g).run()
 
-    got_order = [
-        (r["cycle_id"], r["batch_pos"], r["url_norm"], r["attempt"], r["ok"])
-        for r in eng.crawl_order().collect()
-    ]
+    got_order = engine_order(eng)
     assert len(got_order) > 200
-    assert got_order == ref_order
+    assert got_order == res.order
     got_seen = {r["url_norm"]: r["first_cycle"] for r in eng.seen_set().collect()}
-    assert got_seen == ref_seen
+    assert got_seen == res.seen
     got_docs = {
         r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
         for r in eng.documents().collect()
     }
     want_docs = {
         u: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
-        for u, (c, spans) in ref_docs.items()
+        for u, (c, spans) in res.docs.items()
     }
     assert got_docs == want_docs
