@@ -29,15 +29,18 @@ Growth discipline (the 10^10-URL design point): the cycle reads only
 working state — frontier (active discoveries), `resolved` tombstones
 (bounded between folds), `retry_state` (in-flight retry pool),
 host_state deltas (latest-wins), bloom sidecar. The unbounded history
-logs (`scheduled`, `edges`, `url_seen` full scan, `fetch_log`,
-`documents`, `metrics`) are append-only and never scanned by the hot
-path. Folding resolved → frontier every `compact_every` cycles keeps
+logs (`scheduled`, `edges`, `url_seen` full scan, `documents`,
+`metrics`) are append-only and never scanned by the hot path;
+`fetch_log` is not even stored — it is derived on read
+(:meth:`CrawlEngine.fetch_log`). Folding resolved → frontier every `compact_every` cycles keeps
 the per-cycle read ∝ active frontier — the manifest-catalog analogue
 of Iceberg MERGE INTO with equality deletes + background compaction.
 Per-cycle host_state writes touch only hosts that spent tokens (refill
 is lazy, see operators/politeness.py). Driver actions per cycle: ONE
-count (batch early-exit) + ONE metrics collect that both materializes
-every persisted stage and yields all counters.
+count (schedule+fetch materialization / early-exit) + ONE metrics
+collect that yields every counter — including the novel count that
+gates the distributed seq rank and the outcome counts that let
+provably-unchanged working-state writes be skipped entirely.
 """
 
 from __future__ import annotations
@@ -287,17 +290,23 @@ class CrawlEngine:
         )  # host, tokens_refilled, cap
         capped = schedule.per_host_cap(queued, hs_ref.select("host", "cap"))
         batch = schedule.global_schedule(capped, g.batch_size).persist()
-        n_sched = batch.count()
-        if n_sched == 0:
-            batch.unpersist()
-            return {"cycle": c, "scheduled": 0, "deduped": 0, "discovered": 0,
-                    "wall_ms": int((time.time() - t0) * 1000), "stop": True}
 
         # fetch + parse. global_schedule's limit() leaves the batch in a
         # single partition — spread it across executors before the
         # Arrow-UDF fetch stage or fetch/canonicalize serialize on one core.
         batch_exec = batch.repartition(self.spark.sparkContext.defaultParallelism)
         docs = fetch_ops.fetch_batch(batch_exec, g, c).persist()
+        # ONE materializing action covers schedule + fetch: docs is 1:1
+        # with the batch, so its count IS the scheduled count, the
+        # queued observation fires underneath it, and both caches are
+        # hot before the multi-branch stats job (no branch ever races
+        # to recompute the Arrow fetch stage).
+        n_sched = docs.count()
+        if n_sched == 0:
+            batch.unpersist()
+            docs.unpersist()
+            return {"cycle": c, "scheduled": 0, "deduped": 0, "discovered": 0,
+                    "wall_ms": int((time.time() - t0) * 1000), "stop": True}
         docs_ok = docs.filter(F.col("ok"))
         # attempt outcomes back onto the batch metadata (1:1 on url_norm)
         sched_rows = batch.join(docs.select("url_norm", "ok"), "url_norm").persist()
@@ -324,15 +333,57 @@ class CrawlEngine:
             cand, url_seen, bloom, broadcast_bloom=self._broadcast_bloom,
             seen_mirror=self._ensure_seen_mirror(snap),
         ).persist()
-        # one cheap action: materializes the probe pipeline into cache
-        # (every later consumer reuses it) and gives the TRUE discovery
-        # count, so the two-phase distributed rank runs only when the
-        # single-window path would actually funnel >64k rows through
-        # one task — batch_size alone overestimates at low out-degrees.
-        n_discovered = novel_probed.count()
+
+        # per-partition (host_salt) lineage + counters: one tagged union
+        # + one aggregation (single shuffle) instead of 5 groupBys + 4
+        # full joins — per-cycle fixed cost matters at micro-batch
+        # sizes. Counting novel_probed (pre-seq) rather than novel_rows
+        # lets this single job ALSO provide the true discovery count
+        # that gates the distributed seq rank, so no separate count job
+        # runs; the extra sched_rows slices decide which working-state
+        # writes can be skipped as provably-unchanged this cycle.
+        _T = ("t_sched", "t_cand", "t_novel", "t_docs", "t_failr", "t_exh", "t_inflight")
+
+        def tag(df, col):
+            return df.select(
+                "host_salt",
+                *[F.lit(1 if name == col else 0).alias(name) for name in _T],
+            )
+
+        tagged = (
+            tag(batch, "t_sched")
+            .unionByName(tag(cand, "t_cand"))
+            .unionByName(tag(novel_probed, "t_novel"))
+            .unionByName(tag(sched_rows.filter(F.col("ok")), "t_docs"))
+            .unionByName(tag(
+                sched_rows.filter(~F.col("ok") & (F.col("attempt") < g.max_retries)),
+                "t_failr"))
+            .unionByName(tag(
+                sched_rows.filter(~F.col("ok") & (F.col("attempt") >= g.max_retries)),
+                "t_exh"))
+            .unionByName(tag(sched_rows.filter(F.col("attempt") > 1), "t_inflight"))
+        )
+        # ONE driver action over CACHED frames yields every remaining
+        # counter and materializes cand/novel_probed/sched_rows for the
+        # staged writes — queued counts already arrived via the
+        # observation under batch.count().
+        stat_rows = sorted(
+            tagged.groupBy("host_salt")
+            .agg(*[F.sum(t).alias(t.replace("t_", "s_")) for t in _T])
+            .collect(),
+            key=lambda r: r["host_salt"],
+        )
+        q_in = q_obs.get
+        n_docs = sum(r["s_docs"] for r in stat_rows)
+        n_cand = sum(r["s_cand"] for r in stat_rows)
+        n_novel = sum(r["s_novel"] for r in stat_rows)
+        n_fail_retryable = sum(r["s_failr"] for r in stat_rows)
+        n_exhausted = sum(r["s_exh"] for r in stat_rows)
+        n_inflight = sum(r["s_inflight"] for r in stat_rows)
+
         novel = schedule.assign_seq(
             novel_probed, self.max_seq,
-            distributed=n_discovered > schedule.SMALL_BATCH_MAX,
+            distributed=n_novel > schedule.SMALL_BATCH_MAX,
         )
         novel_rows = (
             novel.withColumn("discovered_from", F.col("doc_id"))
@@ -374,52 +425,6 @@ class CrawlEngine:
             novel_rows.select("part", "url_hash"), bloom,
             cycle_id=c, nbits=self.cfg.bloom_nbits, k=self.cfg.bloom_k,
         )
-
-        fetch_log = docs.select(
-            F.lit(c).cast("long").alias("cycle_id"),
-            F.xxhash64("doc_id").alias("url_hash"),
-            "host",
-            F.when(F.col("ok"), 200).otherwise(503).alias("status"),
-            F.timestamp_seconds(F.lit(1704067200) + F.lit(c)).alias("fetched_at"),
-            fetch_ops.doc_bytes_col().alias("bytes"),
-        )
-
-        # per-partition (host_salt) lineage + counters: one tagged union
-        # + one aggregation (single shuffle) instead of 4 groupBys + 3
-        # full joins — per-cycle fixed cost matters at micro-batch sizes
-        def tag(df, col):
-            return df.select(
-                "host_salt",
-                *[
-                    F.lit(1 if name == col else 0).alias(name)
-                    for name in ("t_sched", "t_cand", "t_novel", "t_docs")
-                ],
-            )
-
-        tagged = (
-            tag(batch, "t_sched")
-            .unionByName(tag(cand, "t_cand"))
-            .unionByName(tag(novel_rows, "t_novel"))
-            .unionByName(tag(sched_rows.filter(F.col("ok")), "t_docs"))
-        )
-        # ONE driver action over CACHED frames yields every remaining
-        # counter and materializes novel_rows/sched_rows for the staged
-        # writes — queued counts already arrived via the observation.
-        stat_rows = sorted(
-            tagged.groupBy("host_salt")
-            .agg(
-                F.sum("t_sched").alias("s_sched"),
-                F.sum("t_cand").alias("s_cand"),
-                F.sum("t_novel").alias("s_novel"),
-                F.sum("t_docs").alias("s_docs"),
-            )
-            .collect(),
-            key=lambda r: r["host_salt"],
-        )
-        q_in = q_obs.get
-        n_docs = sum(r["s_docs"] for r in stat_rows)
-        n_cand = sum(r["s_cand"] for r in stat_rows)
-        n_novel = sum(r["s_novel"] for r in stat_rows)
         self.max_seq += n_novel
         wall_ms = int((time.time() - t0) * 1000)
         per_salt = {int(r["host_salt"]): r for r in stat_rows}
@@ -447,22 +452,34 @@ class CrawlEngine:
             F.lit(c).cast("long").alias("cycle_id"),
         )
 
-        txn = self.cat.begin()
-        txn.stage_all(
-            [
-                ("append", "frontier", novel_rows.select(*FRONTIER_COLS), None),
-                (
-                    "append",
-                    "scheduled",
-                    sched_rows.select(
-                        F.lit(c).cast("long").alias("cycle_id"), "batch_pos",
-                        "url_norm", "url_hash", "host", "host_salt", "score", "seq",
-                        "depth", "attempt", "ok",
-                    ),
-                    None,
+        # Stage only writes whose content can differ this cycle — the
+        # counters prove the rest unchanged, and an unstaged table
+        # simply keeps its parent-snapshot dirs in the new manifest:
+        # - the three novel-derived appends + the bloom fold are no-ops
+        #   when nothing novel was discovered;
+        # - retry_state is content-identical when no attempt failed
+        #   retryably AND no scheduled row was in the retry pool
+        #   (attempt > 1), since retry ANTI sched == retry then;
+        # - resolved gains rows only from successes or exhaustions.
+        # (fetch_log is no longer a stored table at all: it is derived
+        # on read from scheduled ⋈ documents — engine.fetch_log().)
+        writes = [
+            (
+                "append",
+                "scheduled",
+                sched_rows.select(
+                    F.lit(c).cast("long").alias("cycle_id"), "batch_pos",
+                    "url_norm", "url_hash", "host", "host_salt", "score", "seq",
+                    "depth", "attempt", "ok",
                 ),
-                ("append", "documents",
-                 docs.filter(F.col("ok")).select("doc_id", "fetch_cycle", "host", "spans"), None),
+                None,
+            ),
+            ("append", "host_state", hs_delta, None),
+            ("append", "metrics", metrics, None),
+        ]
+        if n_novel:
+            writes += [
+                ("append", "frontier", novel_rows.select(*FRONTIER_COLS), None),
                 (
                     "append",
                     "url_seen",
@@ -473,14 +490,21 @@ class CrawlEngine:
                     ["part"],
                 ),
                 ("overwrite", "bloom_seen", bloom_new, None),
-                ("append", "host_state", hs_delta, None),
-                ("append", "resolved", resolved_delta, None),
-                ("overwrite", "retry_state", retry_new, None),
                 ("append", "edges", edges_delta, None),
-                ("append", "fetch_log", fetch_log, None),
-                ("append", "metrics", metrics, None),
             ]
-        )
+        if n_docs:
+            writes.append((
+                "append", "documents",
+                docs.filter(F.col("ok")).select("doc_id", "fetch_cycle", "host", "spans"),
+                None,
+            ))
+        if n_docs or n_exhausted:
+            writes.append(("append", "resolved", resolved_delta, None))
+        if n_fail_retryable or n_inflight:
+            writes.append(("overwrite", "retry_state", retry_new, None))
+
+        txn = self.cat.begin()
+        txn.stage_all(writes)
         new_snap = txn.commit(
             cycle_id=c,
             meta={"scheduled": n_sched, "discovered": n_novel, "max_seq": self.max_seq},
@@ -556,3 +580,25 @@ class CrawlEngine:
 
     def documents(self) -> DataFrame:
         return self.cat.read("documents")
+
+    def fetch_log(self) -> DataFrame:
+        """Derived view (the Iceberg-view analogue): one row per fetch
+        attempt with status/timestamp/bytes, computed on read from
+        scheduled ⋈ documents. The log is write-once-read-rarely and
+        every column is a function of those two tables, so deriving it
+        removes one staged write from every cycle's commit without
+        losing any queryable surface."""
+        sched = self.cat.read("scheduled")
+        doc_bytes = self.cat.read("documents").select(
+            F.col("doc_id").alias("url_norm"),
+            F.col("fetch_cycle").alias("cycle_id"),
+            fetch_ops.doc_bytes_col().alias("bytes"),
+        )
+        return sched.join(doc_bytes, ["url_norm", "cycle_id"], "left").select(
+            "cycle_id",
+            "url_hash",
+            "host",
+            F.when(F.col("ok"), 200).otherwise(503).cast("int").alias("status"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("cycle_id")).alias("fetched_at"),
+            F.coalesce("bytes", F.lit(0)).cast("long").alias("bytes"),
+        )

@@ -56,6 +56,46 @@ def _contains(bits: np.ndarray, hashes: np.ndarray, nbits: int, k: int) -> np.nd
     return hit.all(axis=0)
 
 
+def fold_bloom_native(
+    new_hashes: DataFrame, bloom: DataFrame, cycle_id: int,
+    nbits: int, k: int,
+) -> DataFrame | None:
+    """C5 fold with zero Python stages (native/src/BloomFold.scala):
+    a JVM UDAF folds each part's new hashes into a bitset WITH partial
+    aggregation — map tasks emit pre-ORed bitsets, so the shuffle
+    carries ≤ tasks×parts fixed-size buffers instead of every novel
+    hash (the 10^9-discoveries-per-cycle design point; the Python
+    cogroup shuffles all hashes and pays an Arrow round-trip). The new
+    bits are OR-merged with the previous cycle's row by a JVM scalar
+    UDF. Bit-identical to the numpy fold (property-tested). Returns
+    None when the native jar isn't on this session's classpath."""
+    spark = new_hashes.sparkSession
+    if not _native_loaded(spark):
+        return None
+    spark._jvm.crawlspark.nativejvm.BloomFold.register(
+        spark._jsparkSession, "crawlspark_bloom_fold", nbits, k
+    )
+    new_bits = new_hashes.groupBy("part").agg(
+        F.expr("crawlspark_bloom_fold(url_hash)").alias("new_bits")
+    )
+    touched = new_hashes.select("part").distinct()
+    folded = (
+        new_bits.join(
+            bloom.join(touched, "part", "left_semi").select("part", "bits"),
+            "part", "left",
+        )
+        .select(
+            "part",
+            F.lit(cycle_id).cast("long").alias("cycle_id"),
+            F.lit(nbits).cast("long").alias("nbits"),
+            F.lit(k).cast("int").alias("k"),
+            F.expr("crawlspark_bloom_fold_or(bits, new_bits)").alias("bits"),
+        )
+    )
+    untouched = bloom.join(touched, "part", "left_anti")
+    return folded.unionByName(untouched)
+
+
 def fold_bloom(
     new_hashes: DataFrame,  # columns: part int, url_hash long
     bloom: DataFrame,  # current bloom_seen table
@@ -64,7 +104,13 @@ def fold_bloom(
     k: int = K_DEFAULT,
 ) -> DataFrame:
     """OR this cycle's new url_hashes into each partition's bitset.
-    Partitions with no new hashes keep their old row (unioned below)."""
+    Partitions with no new hashes keep their old row (unioned below).
+    Dispatches to the JVM-native fold when the jar is loaded (same
+    bits, no Python stage, partial-agg shuffle); this cogrouped
+    numpy path is the universal fallback."""
+    native = fold_bloom_native(new_hashes, bloom, cycle_id, nbits, k)
+    if native is not None:
+        return native
 
     def fold(key: tuple, new_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(bloom_pdf):

@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 3
+_VERSION = 4
 
 
 def _md5_60(s: str) -> int:
@@ -130,6 +130,13 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
     q83 = list(res.cycles)
     q84 = _stub_media_rows(res.docs)
     q85 = _pagerank(res.edges, damping=0.85, iterations=6)
+    by_ch: dict[tuple, list] = {}
+    for (c, pos, _u, host, _sc, _sq, _d, _att, ok) in res.order:
+        by_ch.setdefault((c, host), []).append((pos, ok))
+    q93 = [
+        (c, host, len(v), sum(1 for _p, ok in v if ok), max(p for p, _ok in v))
+        for (c, host), v in by_ch.items()
+    ]
     return {
         "q80_crawl_order": (
             ["cycle_id", "batch_pos", "url_norm", "url_hash", "host",
@@ -167,6 +174,12 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
             "id string, rank double",
             q85,
         ),
+        "q93_crawl_stream_rates": (
+            ["cycle_id", "host", "n_attempts", "n_ok", "max_batch_pos"],
+            "cycle_id int64, host string, n_attempts int64, n_ok int64,"
+            " max_batch_pos int64",
+            q93,
+        ),
     }
 
 
@@ -178,6 +191,7 @@ _TYPE = {
 _NAMES = [
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
+    "q93_crawl_stream_rates",
 ]
 
 

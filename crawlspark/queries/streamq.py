@@ -150,10 +150,36 @@ def q92_stream_token_buckets(spark, sf):
     )
 
 
+def q93_crawl_stream_rates(spark, sf):
+    """S1 over the engine's own tables — the streaming crawl wrapper:
+    tail the UNIT crawl's committed `scheduled` log one file per
+    micro-batch and aggregate per-(cycle, host) outcome counts to
+    completion. Oracle: refsim-generated (crawl_oracle.py) — the
+    stream's final state must equal the reference drain's history."""
+    from . import pin_session
+    from .crawlq import _engine
+
+    pin_session(spark)
+    eng = _engine(spark)
+    name = f"q93_sink_{next(_COUNTER)}"
+    stream = S.crawl_schedule_stream(spark, eng.cfg.warehouse, max_files_per_trigger=1)
+    q = (
+        S.crawl_cycle_rates(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 QUERIES = {
     "q90_stream_window_rates": q90_stream_window_rates,
     "q91_stream_sessions": q91_stream_sessions,
     "q92_stream_token_buckets": q92_stream_token_buckets,
+    "q93_crawl_stream_rates": q93_crawl_stream_rates,
 }
 
 ORACLE = {

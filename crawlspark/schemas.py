@@ -158,6 +158,11 @@ HOST_STATE = T.StructType(
     ]
 )
 
+# Derived view, not a stored table: engine.fetch_log() computes these
+# rows on read from scheduled ⋈ documents (every column is a function
+# of those two logs), so cycles don't pay a staged write for it. The
+# schema stays pinned here for the view's output contract and for
+# foreign writers (e.g. the streaming manifest-sink tests).
 FETCH_LOG = T.StructType(
     [
         T.StructField("cycle_id", T.LongType(), False),

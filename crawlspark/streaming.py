@@ -153,6 +153,33 @@ def token_bucket_stream(requests: DataFrame, capacity: float = 8.0,
     )
 
 
+# -- S1 over the engine's own tables: the streaming crawl wrapper ----------
+
+def crawl_schedule_stream(spark: SparkSession, warehouse: str,
+                          max_files_per_trigger: int | None = None) -> DataFrame:
+    """Tail the crawl engine's `scheduled` log as a stream: every cycle
+    commit adds one data directory under the manifest warehouse, and
+    the parquet file source discovers its files incrementally — a live
+    feed of fetch attempts without touching the engine's hot path.
+    (The glob covers all staged dirs; schema pinned to SCHEDULED.)"""
+    from .schemas import SCHEDULED
+
+    return file_stream(
+        spark, f"{warehouse}/data/scheduled/*", SCHEDULED, max_files_per_trigger
+    )
+
+
+def crawl_cycle_rates(stream: DataFrame) -> DataFrame:
+    """Live crawl dashboard: per-(cycle, host) attempt/outcome counts.
+    cycle_id is monotone over the feed, so `complete`/`update` output
+    needs state only for the trailing cycles."""
+    return stream.groupBy("cycle_id", "host").agg(
+        F.count("*").alias("n_attempts"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_ok"),
+        F.max("batch_pos").cast("long").alias("max_batch_pos"),
+    )
+
+
 # -- S6: exactly-once sink -------------------------------------------------
 
 def manifest_sink(stream: DataFrame, catalog, table: str, checkpoint: str):

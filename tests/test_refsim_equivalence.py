@@ -158,3 +158,28 @@ def test_equivalence_at_t2_scale(spark, tmp_path_factory):
         for u, (c, spans) in res.docs.items()
     }
     assert got_docs == want_docs
+
+
+def test_fetch_log_derived_view(run_pair):
+    """fetch_log is computed on read (no stored table); its rows must
+    still describe every attempt with the right status and byte count."""
+    from crawlspark.purehash import xxhash64_str
+
+    eng, res = run_pair
+    got = {
+        (r["cycle_id"], r["url_hash"], r["host"], r["status"], r["bytes"])
+        for r in eng.fetch_log().collect()
+    }
+
+    def span_bytes(spans):
+        return sum(
+            len(s["text"]) + (64 if s["kind"] == "media" else 0) for s in spans
+        )
+
+    want = {
+        (c, xxhash64_str(u), host, 200 if ok else 503,
+         span_bytes(res.docs[u][1]) if ok else 0)
+        for (c, _pos, u, host, _sc, _sq, _d, _att, ok) in res.order
+    }
+    assert got == want
+    assert len(got) == len(res.order)

@@ -134,3 +134,43 @@ def test_manifest_sink_exactly_once(spark, events_dir):
     q2 = S.manifest_sink(stream2, cat, "fetch_log", ckpt).trigger(availableNow=True).start()
     q2.awaitTermination(120)
     assert cat.read("fetch_log").count() == n1
+
+
+def test_crawl_schedule_stream_matches_batch_and_refsim(spark, tmp_path_factory):
+    """The streaming crawl wrapper (S1 over the engine's own tables):
+    tailing the committed `scheduled` log one file per micro-batch and
+    aggregating to completion must equal both the batch aggregation of
+    the same table AND the refsim drain history."""
+    from crawlspark.engine import CrawlEngine, EngineConfig
+    from crawlspark.refsim import RefSim
+    from crawlspark.synth import GraphConfig
+
+    g = GraphConfig(n_sites=4, max_pages=24, batch_size=12, max_cycles=3)
+    wh = tmp_path_factory.mktemp("wh-stream-crawl")
+    eng = CrawlEngine(spark, EngineConfig(graph=g, warehouse=str(wh)))
+    eng.run()
+
+    stream = S.crawl_schedule_stream(spark, str(wh), max_files_per_trigger=1)
+    q = _run_available_now(
+        S.crawl_cycle_rates(stream).writeStream, "crawl_stream_rates"
+    )
+    assert q.lastProgress is not None
+    got = {
+        (r["cycle_id"], r["host"]): (r["n_attempts"], r["n_ok"], r["max_batch_pos"])
+        for r in spark.table("crawl_stream_rates").collect()
+    }
+
+    batch = {
+        (r["cycle_id"], r["host"]): (r["n_attempts"], r["n_ok"], r["max_batch_pos"])
+        for r in S.crawl_cycle_rates(eng.cat.read("scheduled")).collect()
+    }
+    assert got == batch
+
+    by_ch = {}
+    for (c, pos, _u, host, _sc, _sq, _d, _att, ok) in RefSim(g).run().order:
+        by_ch.setdefault((c, host), []).append((pos, ok))
+    want = {
+        k: (len(v), sum(1 for _p, ok in v if ok), max(p for p, _ok in v))
+        for k, v in by_ch.items()
+    }
+    assert got == want
