@@ -93,7 +93,14 @@ def fold_bloom_native(
         )
     )
     untouched = bloom.join(touched, "part", "left_anti")
-    return folded.unionByName(untouched)
+    out = folded.unionByName(untouched)
+    # Unlike the Python cogroup (whose applyInPandas output carries
+    # fresh attributes), this plan keeps `new_hashes`' lineage — so a
+    # caller composing the fold output with an overlapping source
+    # (e.g. probing the same candidates) would hit Spark's
+    # ambiguous-self-join check. Re-aliasing every column mints fresh
+    # attribute ids, restoring the cogroup path's composability.
+    return out.select(*[F.col(c).alias(c) for c in out.columns])
 
 
 def fold_bloom(
