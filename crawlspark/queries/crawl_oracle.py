@@ -114,9 +114,7 @@ def _pagerank(edges: list[tuple[str, str]], damping: float, iterations: int):
 
 
 def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
-    """name -> (columns, pyarrow schema DDL, rows)."""
-    import pyarrow as pa  # noqa: F401  (schema built below)
-
+    """name -> (columns, typed-schema DDL, rows)."""
     q80 = [
         (c, p, u, xxhash64_str(u), host, score, seq, depth, att, ok)
         for (c, p, u, host, score, seq, depth, att, ok) in res.order
@@ -206,6 +204,12 @@ def build_crawl_oracles(cfg: GraphConfig = UNIT) -> dict[str, str]:
     out_dir = os.path.join(tempfile.gettempdir(), f"crawlspark_refsim_oracle_{tag}")
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
+        if os.path.isdir(out_dir):
+            # partial dir from a crashed builder: clear it or the
+            # atomic rename below can never succeed
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
         res = RefSim(cfg).run()
         tables = _tables(res)
         tmp = tempfile.mkdtemp(prefix=f"{out_dir}.stage-")

@@ -195,6 +195,98 @@ SELECT q_id, n_id, rnk, round(c, 6) AS cos FROM r WHERE rnk <= 3
 """
 
 
+def q64_ann_ivf(spark, sf):
+    """IVF coarse-quantizer ANN (16 cells, 3-probe, exact re-rank in
+    probed cells) — the inverted-file scale path beside the LSH family.
+    The quantizer is trained Spark-side but bit-exactly replayable
+    (md5-seeded cells, sequential id-ordered centroid folds), so the
+    oracle hash-compares the full output."""
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    return similarity.ann_topk_ivf(
+        q, corpus, spark, k=3, n_cells=16, n_probe=3, sample_per_cell=24, dim=64
+    )
+
+
+_CENT_COS = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    " / (sqrt(list_reduce(list_transform(list_zip({a}, {a}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v))"
+    " * sqrt(list_reduce(list_transform(list_zip({b}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)))"
+)
+
+def _MEANS(src: str, out: str) -> str:
+    """CTE chunk: bounded id-ordered sample mean per cell of `src`
+    (columns id, v, cell) — the DuckDB twin of similarity._cell_means
+    (sequential fold, bit-exact vs F.aggregate)."""
+    return f"""
+samp_{out} AS (
+  SELECT cell, id, v, row_number() OVER (PARTITION BY cell ORDER BY id) AS rn
+  FROM {src}),
+cellvs_{out} AS (
+  SELECT cell, list(v ORDER BY id) AS vs, count(*) AS cnt
+  FROM samp_{out} WHERE rn <= 24 GROUP BY cell),
+{out} AS (
+  SELECT cell,
+         list_transform(
+           list_reduce(vs, (acc, x) -> list_transform(list_zip(acc, x), z -> z[1] + z[2])),
+           s -> s / cnt) AS centroid
+  FROM cellvs_{out})"""
+
+
+SQL64 = f"""
+WITH corpus AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v,
+         CAST(({_H("'ivf_' || CAST(vec_id AS VARCHAR)")} % 16) AS INT) AS cell
+  FROM embeddings WHERE vec_id >= 10),
+{_MEANS('corpus', 'cent0')},
+rescore AS (
+  SELECT b.id, b.v, c.cell,
+         row_number() OVER (
+           PARTITION BY b.id
+           ORDER BY ({_CENT_COS.format(a='b.v', b='c.centroid')}) DESC, c.cell ASC
+         ) AS crnk
+  FROM corpus b CROSS JOIN cent0 c),
+reassigned AS (SELECT id, v, cell FROM rescore WHERE crnk = 1),
+{_MEANS('reassigned', 'cent')},
+nscore AS (
+  SELECT b.id AS n_id, b.v AS nv, c.cell,
+         row_number() OVER (
+           PARTITION BY b.id
+           ORDER BY ({_CENT_COS.format(a='b.v', b='c.centroid')}) DESC, c.cell ASC
+         ) AS crnk
+  FROM corpus b CROSS JOIN cent c),
+nassign AS (SELECT n_id, nv, cell FROM nscore WHERE crnk = 1),
+qbase AS (
+  SELECT vec_id AS q_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 10),
+qscore AS (
+  SELECT q.q_id, q.qv, c.cell,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY ({_CENT_COS.format(a='q.qv', b='c.centroid')}) DESC, c.cell ASC
+         ) AS crnk
+  FROM qbase q CROSS JOIN cent c),
+qassign AS (SELECT q_id, qv, cell FROM qscore WHERE crnk <= 3),
+cand AS (
+  SELECT DISTINCT q.q_id, q.qv, n.n_id, n.nv
+  FROM qassign q JOIN nassign n USING (cell) WHERE q.q_id != n.n_id),
+scored AS (
+  SELECT q_id, n_id, {_dot('qv', 'nv')}
+         / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('nv', 'nv')})) AS c
+  FROM cand),
+r AS (
+  SELECT q_id, n_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id ASC) AS rnk
+  FROM scored)
+SELECT q_id, n_id, rnk, round(c, 6) AS cos FROM r WHERE rnk <= 3
+"""
+
+
 def q57_embed_near_dups(spark, sf):
     """Embedding-cosine near-dup pairs over the whole embeddings table
     (banded-LSH candidates, exact cos ≥ 0.42 verify — τ calibrated to
@@ -241,6 +333,7 @@ QUERIES = {
     "q61_ann_lsh": q61_ann_lsh,
     "q62_ann_multiprobe": q62_ann_multiprobe,
     "q63_ann_banded": q63_ann_banded,
+    "q64_ann_ivf": q64_ann_ivf,
 }
 
 ORACLE = {
@@ -249,4 +342,5 @@ ORACLE = {
     "q61_ann_lsh": SQL61,
     "q62_ann_multiprobe": SQL62,
     "q63_ann_banded": SQL63,
+    "q64_ann_ivf": SQL64,
 }

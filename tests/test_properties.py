@@ -380,3 +380,32 @@ def test_pure_xxh64_matches_spark(spark):
     assert len(rows) == len(corpus)
     for r in rows:
         assert r["h"] == xxhash64_str(r["u"])
+
+
+def test_ivf_quantizer_captures_structure(spark):
+    """IVF (q64): the refined coarse quantizer must (a) replay
+    deterministically and (b) put genuinely-similar vectors (the q57
+    near-dup pairs, cos >= 0.42) in one cell far above the 1/n_cells
+    chance rate — the property that makes n_probe/n_cells scan cost a
+    real trade on clustered corpora."""
+    from crawlspark.operators import similarity
+    from crawlspark.queries.relational import T
+    from crawlspark.queries.simq import q57_embed_near_dups
+
+    sf = "/root/testdata/sf0.01"
+    e = T(spark, sf, "embeddings")
+    pairs = [(r["i"], r["j"]) for r in q57_embed_near_dups(spark, sf).collect()]
+    assert len(pairs) >= 20
+
+    def assignment():
+        cents = similarity.ivf_centroids(e, 16, 24, dim=64, refine_rounds=1)
+        a = similarity.ivf_assign(
+            e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+            cents, 1, "id", "v",
+        )
+        return {r["id"]: r["cell"] for r in a.collect()}
+
+    cell = assignment()
+    capture = sum(1 for i, j in pairs if cell[i] == cell[j]) / len(pairs)
+    assert capture >= 3 / 16, f"capture {capture} not above chance"
+    assert assignment() == cell, "quantizer must be deterministic"
