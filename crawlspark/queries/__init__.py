@@ -33,9 +33,11 @@ _WINDOW = [
     # streaming S1–S6
     "q90_stream_window_rates", "q91_stream_sessions",
     "q92_stream_token_buckets",
-    # similarity P7–P8 (q63 band-OR is the production recall config;
-    # q62 multi-probe stays registered in the tail)
-    "q60_cosine_topk", "q61_ann_lsh", "q63_ann_banded",
+    # similarity P7–P8: one slot per distinct method — exact baseline,
+    # band-OR LSH (the production recall config), IVF coarse-quantizer.
+    # The single-table LSH (q61) and multi-probe (q62) variants stay
+    # registered in the tail.
+    "q60_cosine_topk", "q63_ann_banded", "q64_ann_ivf",
     # dedup P1–P6, P17 + embedding-cosine near-dups (q57)
     "q56_dedup_clusters", "q50_exact_dedup", "q51_minhash_sig",
     "q52_near_dup_pairs", "q53_simhash", "q54_simhash_pairs",
