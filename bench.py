@@ -216,6 +216,11 @@ def main():
     ap.add_argument("--queries-only", action="store_true")
     ap.add_argument("--frontier-only", action="store_true")
     ap.add_argument("--frontier-urls", type=int, default=2_000_000)
+    # design-point crawl cycles (synth.DESIGN: ~2M-page graph, 200-500k
+    # scheduled/cycle) — opt-in because it adds ~90 s; evidences that
+    # crawl throughput is fixed-cost-bound at the micro-batch tier and
+    # rises ~5x when cycles carry production-sized batches
+    ap.add_argument("--crawl-design", action="store_true")
     args = ap.parse_args()
 
     from crawlspark.session import get_spark
@@ -228,11 +233,16 @@ def main():
     qtimes: dict[str, float] = {}
     crawl: dict = {}
     frontier: dict = {}
-    if not (args.crawl_only or args.frontier_only):
+    crawl_design: dict = {}
+    if args.crawl_design:
+        from crawlspark.synth import DESIGN
+
+        crawl_design = run_crawl(spark, cfg=DESIGN)
+    if not (args.crawl_only or args.frontier_only or args.crawl_design):
         qtimes = run_queries(spark, sf_dir)
-    if not (args.queries_only or args.frontier_only):
+    if not (args.queries_only or args.frontier_only or args.crawl_design):
         crawl = run_crawl(spark)
-    if not (args.queries_only or args.crawl_only):
+    if not (args.queries_only or args.crawl_only or args.crawl_design):
         frontier = run_frontier_scale(spark, n_urls=args.frontier_urls)
     total = round(time.time() - t0, 3)
 
@@ -247,6 +257,8 @@ def main():
         "crawl": crawl,
         "frontier": frontier,
     }
+    if crawl_design:
+        out["crawl_design"] = crawl_design
     print(json.dumps(out))
 
 

@@ -252,3 +252,10 @@ T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,
                     seeds_per_site=20)
+# design-point batch tier: ~2M-page graph sustaining ~200-500k
+# scheduled URLs per cycle — the regime where per-cycle fixed cost
+# amortizes (the micro-batch BENCH tier is fixed-cost-bound by
+# construction; this one is dataflow-bound like a production cycle)
+DESIGN = GraphConfig(n_sites=2000, max_pages=400000, out_degree=8,
+                     batch_size=500000, max_cycles=4, token_mult=1000,
+                     seeds_per_site=150)
