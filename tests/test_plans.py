@@ -169,3 +169,24 @@ def test_bucketed_seen_join_shuffles_only_candidates(spark):
     # bucketed files directly
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_ivf_plan_jvm_only_with_broadcast_centroids(spark):
+    """q64's physical plan: centroid assignment must broadcast the
+    (tiny) centroid table — never shuffle the corpus for it — and the
+    whole IVF path must contain zero Python/Arrow stages (all math is
+    JVM higher-order array functions)."""
+    from crawlspark.operators import similarity
+    from crawlspark.queries.relational import T
+
+    sf = "/root/testdata/sf0.001"
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    out = similarity.ann_topk_ivf(q, corpus, spark, k=3, n_cells=8,
+                                  n_probe=2, sample_per_cell=16, dim=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapCoGroupsInPandas",
+                   "MapInPandas"):
+        assert marker not in plan, marker

@@ -183,3 +183,28 @@ def test_fetch_log_derived_view(run_pair):
     }
     assert got == want
     assert len(got) == len(res.order)
+
+
+@pytest.mark.parametrize("g", [
+    # tiny batches: scheduling starves, retries dominate several cycles
+    dict(n_sites=4, max_pages=30, batch_size=5, max_cycles=7, out_degree=3),
+    # max_retries=1: every failure exhausts immediately (tombstone path)
+    dict(n_sites=6, max_pages=50, batch_size=24, max_cycles=5, max_retries=1),
+    # dense cross-site linking + multi-seed: heavy within-cycle dedup
+    dict(n_sites=8, max_pages=60, batch_size=40, max_cycles=5,
+         out_degree=6, cross_site_prob=0.6, seeds_per_site=2),
+])
+def test_equivalence_config_sweep(spark, tmp_path_factory, g):
+    """Engine == refsim across structurally different crawl regimes —
+    guards the skip-unchanged-write logic and retry/tombstone edges
+    that the UNIT/T2 configs may not exercise."""
+    from crawlspark.synth import GraphConfig
+
+    cfg = GraphConfig(**g)
+    wh = tmp_path_factory.mktemp("wh-sweep")
+    eng = CrawlEngine(spark, EngineConfig(graph=cfg, warehouse=str(wh), n_salt=4))
+    eng.run()
+    res = RefSim(cfg).run()
+    assert engine_order(eng) == res.order
+    got_seen = {r["url_norm"]: r["first_cycle"] for r in eng.seen_set().collect()}
+    assert got_seen == res.seen
