@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 4
+_VERSION = 5
 
 
 def _md5_60(s: str) -> int:
@@ -128,6 +128,12 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
     q83 = list(res.cycles)
     q84 = _stub_media_rows(res.docs)
     q85 = _pagerank(res.edges, damping=0.85, iterations=6)
+    q86 = [
+        (ref, doc_id, idx)
+        for (ref, doc_id, kind, _nb, _w, _h, n_frames, _dec) in q84
+        if kind != "image"
+        for idx in range(0, n_frames, 4)
+    ]
     by_ch: dict[tuple, list] = {}
     for (c, pos, _u, host, _sc, _sq, _d, _att, ok) in res.order:
         by_ch.setdefault((c, host), []).append((pos, ok))
@@ -172,6 +178,11 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
             "id string, rank double",
             q85,
         ),
+        "q86_frame_sample": (
+            ["media_ref", "doc_id", "frame_idx"],
+            "media_ref string, doc_id string, frame_idx int32",
+            q86,
+        ),
         "q93_crawl_stream_rates": (
             ["cycle_id", "host", "n_attempts", "n_ok", "max_batch_pos"],
             "cycle_id int64, host string, n_attempts int64, n_ok int64,"
@@ -189,7 +200,7 @@ _TYPE = {
 _NAMES = [
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
-    "q93_crawl_stream_rates",
+    "q86_frame_sample", "q93_crawl_stream_rates",
 ]
 
 

@@ -93,6 +93,16 @@ def q84_media_features(spark, sf):
     )
 
 
+def q86_frame_sample(spark, sf):
+    """Multimodal frame-sampling plan (P14 tail stage): every 4th
+    frame index of each non-image asset, as pure JVM explode over the
+    decoded n_frames. Oracle: refsim-generated (crawl_oracle.py)."""
+    from .. import multimodal as M
+
+    docs = _engine(spark).documents()
+    return M.frame_sample(M.media_pipeline(docs), every_n=4)
+
+
 def q85_pagerank(spark, sf):
     """Iterative PageRank over the crawl's discovered link graph
     (parent doc → discovered URL), 10 damped iterations. Rows-only:
@@ -112,6 +122,7 @@ QUERIES = {
     "q83_crawl_metrics": q83_crawl_metrics,
     "q84_media_features": q84_media_features,
     "q85_pagerank": q85_pagerank,
+    "q86_frame_sample": q86_frame_sample,
 }
 
 ORACLE: dict[str, str] = {}
