@@ -2,7 +2,9 @@
 the driver testdata embeddings — the tuning evidence behind the
 (n_tables, planes_per_table) default in ann_topk_banded.
 
-Writes BENCH/ANN_RECALL.md. Usage: python tools/ann_recall.py [sf_dir]
+Writes BENCH/ANN_RECALL.md (or the given output path — pass one when
+the main report has hand-written sections you don't want clobbered).
+Usage: python tools/ann_recall.py [sf_dir] [out_md]
 """
 
 from __future__ import annotations
@@ -100,7 +102,11 @@ def main():
             candidate_count(qb, nb, ["t", "bucket"]),
         )
 
-    out = Path(__file__).resolve().parent.parent / "BENCH" / "ANN_RECALL.md"
+    out = (
+        Path(sys.argv[2])
+        if len(sys.argv) > 2
+        else Path(__file__).resolve().parent.parent / "BENCH" / "ANN_RECALL.md"
+    )
     lines = [
         "# ANN recall vs candidate cost (driver testdata embeddings)",
         "",
