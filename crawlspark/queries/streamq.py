@@ -109,28 +109,65 @@ FROM p GROUP BY user_id
 """
 
 
+_Q92_CAP, _Q92_REFILL, _Q92_FILES = 64.0, 32.0, 4
+# bump when the q92 split or expected-output definition changes so a
+# stale /tmp dir from an earlier code version is never reused
+_Q92_VERSION = 2
+
+
+def _q92_multi_dir(sf: str) -> str:
+    """Deterministic multi-file split of the events table for the q92
+    stateful stream — pure pyarrow (contiguous row chunks in file
+    order, mtimes spaced so the file-stream source discovers them in
+    a pinned order), so the pure-Python oracle twin (`build_oracle`)
+    can replay the exact micro-batch sequence without Spark."""
+    import os
+
+    key = sf.strip("/").replace("/", "_")
+    multi = f"/tmp/crawlspark_stream_multi_v{_Q92_VERSION}_{key}"
+    if not os.path.exists(f"{multi}/_DONE"):
+        import shutil
+        import tempfile as _tf
+
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf}/events.parquet")
+        n = tbl.num_rows
+        tmp = _tf.mkdtemp(prefix=f"{multi}.stage-")
+        base_ts = 1_700_000_000
+        for i in range(_Q92_FILES):
+            lo = i * n // _Q92_FILES
+            hi = (i + 1) * n // _Q92_FILES
+            p = os.path.join(tmp, f"part-{i:04d}.parquet")
+            pq.write_table(tbl.slice(lo, hi - lo), p)
+            os.utime(p, (base_ts + i * 60, base_ts + i * 60))
+        open(os.path.join(tmp, "_DONE"), "w").write("ok")
+        try:
+            os.replace(tmp, multi)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return multi
+
+
 def q92_stream_token_buckets(spark, sf):
     """S5: custom stateful streaming op — per-host crawl-delay token
     buckets via applyInPandasWithState, one micro-batch per source
-    file so state carries across batches. Rows-only (stateful
-    semantics aren't SQL-expressible; invariants property-tested in
-    tests/test_streaming.py)."""
+    file so state carries across batches. Oracle: refsim-generated
+    (`build_oracle` below) — a pure-Python token-bucket twin replays
+    the same deterministic file sequence and the driver hash-compares
+    the final per-host totals; invariants also property-tested in
+    tests/test_streaming.py."""
     from . import pin_session
 
     pin_session(spark)
-    import os
 
-    multi = f"/tmp/crawlspark_stream_multi_{sf.strip('/').replace('/', '_')}"
-    if not os.path.exists(f"{multi}/_SUCCESS"):
-        spark.read.parquet(f"{sf}/events.parquet").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(multi)
+    multi = _q92_multi_dir(sf)
     name = f"q92_sink_{next(_COUNTER)}"
     stream = S.file_stream(spark, multi, S.EVENTS_SCHEMA, max_files_per_trigger=1)
     reqs = stream.select(
         F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host")
     )
-    out = S.token_bucket_stream(reqs, capacity=64.0, refill=32.0)
+    out = S.token_bucket_stream(reqs, capacity=_Q92_CAP, refill=_Q92_REFILL)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -186,3 +223,71 @@ ORACLE = {
     "q90_stream_window_rates": SQL90,
     "q91_stream_sessions": SQL91,
 }
+
+
+def build_oracle(sf: str | None = None) -> dict[str, str]:
+    """Refsim-generated oracle for q92 (same pattern as
+    crawl_oracle.py): replay the deterministic micro-batch sequence —
+    the pyarrow-split files of `_q92_multi_dir` in mtime order — with
+    a pure-Python token bucket (twin of streaming.make_token_bucket_fn:
+    tokens = min(cap, tokens + refill); allowed = min(int(tokens),
+    requested)), aggregate per host, persist as typed parquet, and
+    emit ``read_parquet`` SQL for the driver's DuckDB harness.
+
+    The driver compares at sf0.01 (TESTDATA.md), so that is the
+    default; check_oracle/driver_sim use the same dir."""
+    import os
+    import tempfile as _tf
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = sf or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    multi = _q92_multi_dir(sf)
+    key = sf.strip("/").replace("/", "_")
+    out_dir = f"/tmp/crawlspark_q92_oracle_v{_Q92_VERSION}_{key}"
+    out_path = os.path.join(out_dir, "q92.parquet")
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+        files = sorted(
+            (os.path.getmtime(os.path.join(multi, f)), f)
+            for f in os.listdir(multi)
+            if f.endswith(".parquet")
+        )
+        tokens: dict[str, float] = {}
+        totals: dict[str, list] = {}  # host -> [requested, allowed, batches]
+        for _mt, fname in files:
+            uids = pq.read_table(
+                os.path.join(multi, fname), columns=["user_id"]
+            ).column("user_id").to_pylist()
+            requested: dict[str, int] = {}
+            for u in uids:
+                requested[f"h{u % 5}"] = requested.get(f"h{u % 5}", 0) + 1
+            for host, req in requested.items():
+                t = min(_Q92_CAP, tokens.get(host, _Q92_CAP) + _Q92_REFILL)
+                allowed = min(int(t), req)
+                tokens[host] = t - allowed
+                acc = totals.setdefault(host, [0, 0, 0])
+                acc[0] += req
+                acc[1] += allowed
+                acc[2] += 1
+        hosts = sorted(totals)
+        tbl = pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "total_requested": pa.array([totals[h][0] for h in hosts], pa.int64()),
+                "total_allowed": pa.array([totals[h][1] for h in hosts], pa.int64()),
+                "n_batches": pa.array([totals[h][2] for h in hosts], pa.int64()),
+            }
+        )
+        tmp = _tf.mkdtemp(prefix=f"{out_dir}.stage-")
+        pq.write_table(tbl, os.path.join(tmp, "q92.parquet"))
+        open(os.path.join(tmp, "_DONE"), "w").write("ok")
+        try:
+            os.replace(tmp, out_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "q92_stream_token_buckets": f"SELECT * FROM read_parquet('{out_path}')"
+    }
