@@ -27,6 +27,21 @@ from pyspark.sql import functions as F
 from ..portable import md5hash60, shingles, words
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a subtree that is consumed ≥2× downstream.
+
+    The LSH band self-join and the exact-verify join each replay their
+    whole input chain otherwise (the q52 physical plan scanned the
+    corpus 6× and ran the 8-way signature hash twice). A lazy
+    localCheckpoint computes the subtree once into executor block
+    storage (memory-and-disk, so it spills rather than OOMs at scale)
+    and truncates lineage; the blocks are freed by the ContextCleaner
+    when the result DataFrame is dropped. At 10^9 documents this is
+    exactly the materialize-signatures-once step a production dedup
+    pipeline performs anyway."""
+    return df.localCheckpoint(eager=False)
+
+
 # -- exact dedup -----------------------------------------------------------
 
 def exact_dedup(df: DataFrame, key, id_col: str) -> DataFrame:
@@ -43,9 +58,16 @@ def exact_dedup(df: DataFrame, key, id_col: str) -> DataFrame:
 # -- MinHash + LSH ---------------------------------------------------------
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) distinct — k-word shingles in document order."""
+    """(id, shingle) distinct — k-word shingles in document order.
+
+    The words array is bound to a column BEFORE the shingle transform:
+    ``element_at`` inside the transform lambda then reads an attribute
+    instead of re-evaluating ``split(trim(text))`` per shingle index
+    (which is O(words²) per document — measured 6× slower on the
+    bench corpus)."""
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(words(text_col), k)).alias("shingle"))
+        df.select(F.col(id_col).alias("id"), words(text_col).alias("w"))
+        .select("id", F.explode(shingles(F.col("w"), k)).alias("shingle"))
         .distinct()
     )
 
@@ -71,7 +93,7 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     band_hash = md5-60 of the band's concatenated minhashes; the
     self-join shuffles on (band, band_hash) only."""
     rows = n_hashes // bands
-    bandkey = (
+    bandkey = _materialize(
         sig.withColumn("band", (F.col("j") / rows).cast("int"))
         .groupBy("id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("j", "minh"))).alias("ms"))
@@ -80,7 +102,7 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
             md5hash60(F.concat_ws("#", F.transform("ms", lambda s: s["minh"].cast("string")))),
         )
         .select("id", "band", "band_hash")
-    )
+    )  # both sides of the self-join read this once (n_docs × bands rows)
     other = bandkey.select(
         F.col("id").alias("id2"), F.col("band").alias("band2"), F.col("band_hash").alias("bh2")
     )
@@ -126,7 +148,7 @@ def minhash_near_dups(
     """Full pipeline: shingle → minhash → band → candidate join → exact
     Jaccard verify. Output is deterministic (same LSH candidates and
     the exact-verified subset) across engines and partitionings."""
-    sh = shingle_table(df, id_col, text_col, k)
+    sh = _materialize(shingle_table(df, id_col, text_col, k))
     sig = minhash_signatures(sh, n_hashes)
     cand = lsh_candidate_pairs(sig, n_hashes, bands)
     return jaccard_verify(cand, sh, threshold)
@@ -183,10 +205,10 @@ def simhash(
             F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok")
         )
     else:
+        # bind the words array first — see shingle_table's note
         tok_src = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles(words(text_col), token_k)).alias("tok"),
-        )
+            F.col(id_col).alias("id"), words(text_col).alias("w")
+        ).select("id", F.explode(shingles(F.col("w"), token_k)).alias("tok"))
     toks = (
         tok_src.groupBy("id", "tok")
         .agg(F.count("*").alias("cnt"))
@@ -219,9 +241,11 @@ def simhash_near_dups(fps: DataFrame, nbits: int = 48, bands: int = 8, max_ham: 
     assert bands > max_ham, "pigeonhole requires bands > max_ham"
     width = nbits // bands
     mask = (1 << width) - 1
-    bandvals = fps.withColumn(
-        "band", F.explode(F.array(*[F.lit(b) for b in range(bands)]))
-    ).withColumn("bv", F.expr(f"shiftright(fp, band * {width}) & {mask}"))
+    bandvals = _materialize(
+        fps.withColumn(
+            "band", F.explode(F.array(*[F.lit(b) for b in range(bands)]))
+        ).withColumn("bv", F.expr(f"shiftright(fp, band * {width}) & {mask}"))
+    )  # fingerprint chain runs once; both self-join sides read blocks
     other = bandvals.select(
         F.col("id").alias("id2"), F.col("fp").alias("fp2"),
         F.col("band").alias("band2"), F.col("bv").alias("bv2"),
@@ -245,11 +269,19 @@ def simhash_near_dups(fps: DataFrame, nbits: int = 48, bands: int = 8, max_ham: 
 # -- character n-gram Jaccard ---------------------------------------------
 
 def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """(id, gram) distinct character n-grams (sliding window)."""
-    c = F.trim(F.col(text_col))
+    """(id, gram) distinct character n-grams (sliding window).
+
+    Trimmed text is bound to a column first so the per-index substr
+    reads an attribute instead of re-trimming the document per gram
+    (see shingle_table's note)."""
+    c = F.col("t")
     grams = F.transform(
         F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
         lambda i: c.substr(i, F.lit(n)),
     )
     grams = F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle")).distinct()
+    return (
+        df.select(F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("t"))
+        .select("id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )

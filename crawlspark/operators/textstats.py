@@ -38,8 +38,12 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality features per document: word count, distinct-word ratio
     (type/token), mean word length, punctuation ratio, stopword ratio,
     and a composite quality score in [0,1]."""
-    t = F.trim(F.col(text_col))
-    w = words(text_col)
+    # bind trim/split once per row (attributes below), not per feature
+    df = df.withColumn("_t", F.trim(F.col(text_col))).withColumn(
+        "_w", F.split(F.col("_t"), " ")
+    )
+    t = F.col("_t")
+    w = F.col("_w")
     en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     n_words = F.size(w)
     n_distinct = F.size(F.array_distinct(w))
@@ -60,6 +64,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
                 6,
             ),
         )
+        .drop("_t", "_w")
     )
 
 
@@ -99,12 +104,14 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFr
     character n-gram stream (a 1-hash MinHash — the winnowing-style
     'cheapest representative gram' fingerprint). Equal fp ⇒ likely
     shared content block."""
-    c = F.trim(F.col(text_col))
+    c = F.col("t")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
         lambda i: c.substr(i, F.lit(n)),
     )
     hashes = F.transform(grams, lambda g: md5hash60(g))
+    # trimmed text bound to a column first so the per-index substr
+    # reads an attribute, not a re-trim per gram (O(chars²) otherwise)
     return df.select(
-        F.col(id_col).alias("id"), F.array_min(hashes).alias("fp")
-    )
+        F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("t")
+    ).select("id", F.array_min(hashes).alias("fp"))
