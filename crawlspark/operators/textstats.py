@@ -71,31 +71,31 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id(df: DataFrame, id_col: str, text_col: str, spark: SparkSession) -> DataFrame:
     """(id, pred_lang): stopword-profile argmax language-ID.
 
-    Score(lang) = tokens matching that language's stopword list;
-    argmax with deterministic lexicographic tie-break ('und' when no
-    profile matches). Broadcast profile join — profiles ≪ corpus."""
-    profile = spark.createDataFrame(
-        [(lang, tok) for lang, toks in sorted(STOPWORDS.items()) for tok in toks],
-        "lang string, tok string",
-    )
-    toks = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("tok"))
-    scores = (
-        toks.join(F.broadcast(profile), "tok")
-        .groupBy("id", "lang")
-        .agg(F.count("*").alias("hits"))
-    )
-    from pyspark.sql import Window
+    Score(lang) = token occurrences in that language's stopword list,
+    computed as pure column math over the bound words array — no
+    explode, no join, no shuffle. (The previous broadcast-join +
+    window-argmax shape shuffled the entire token stream twice just to
+    rank a handful of profile scores; at 10^9 documents that is the
+    whole corpus through the wire. The profile is a compile-time
+    constant, so each language's hit count is one vectorized array
+    filter per row.) Argmax with deterministic tie-break (hits desc,
+    lang asc; 'und' when no profile token occurs) via a when-fold in
+    sorted language order: strict > keeps the lexicographically
+    smaller language on ties."""
+    def contains(arr):
+        # one-arg lambda for F.filter (PySpark reads the signature;
+        # a default-arg closure would register as a 2-var lambda)
+        return lambda x: F.array_contains(arr, x)
 
-    # argmax via window (hits desc, lang asc) — deterministic tie-break
-    w = Window.partitionBy("id").orderBy(F.col("hits").desc(), F.col("lang").asc())
-    best = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("lang").alias("pred_lang"))
-    )
-    ids = df.select(F.col(id_col).alias("id"))
-    return ids.join(best, "id", "left").withColumn(
-        "pred_lang", F.coalesce("pred_lang", F.lit("und"))
+    pred, best = F.lit("und"), F.lit(0)
+    w = F.col("_w")
+    for lang, toks in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(t) for t in toks])
+        s = F.size(F.filter(w, contains(arr)))
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(s, best)
+    return df.select(F.col(id_col).alias("id"), words(text_col).alias("_w")).select(
+        "id", pred.alias("pred_lang")
     )
 
 
