@@ -302,6 +302,7 @@ class CrawlEngine:
         # hot before the multi-branch stats job (no branch ever races
         # to recompute the Arrow fetch stage).
         n_sched = docs.count()
+        t_fetch = time.time()
         if n_sched == 0:
             batch.unpersist()
             docs.unpersist()
@@ -350,18 +351,25 @@ class CrawlEngine:
                 *[F.lit(1 if name == col else 0).alias(name) for name in _T],
             )
 
+        # sched_rows is 1:1 with batch (inner join on unique url_norm),
+        # so all five batch-derived counters come from ONE pass over it
+        # as computed tag columns — three union branches instead of
+        # seven (the stats job is task-overhead-bound at micro-batch
+        # sizes: fewer branches = fewer map tasks over cached frames)
+        sched_tags = sched_rows.select(
+            "host_salt",
+            F.lit(1).alias("t_sched"),
+            F.lit(0).alias("t_cand"),
+            F.lit(0).alias("t_novel"),
+            F.col("ok").cast("int").alias("t_docs"),
+            (~F.col("ok") & (F.col("attempt") < g.max_retries)).cast("int").alias("t_failr"),
+            (~F.col("ok") & (F.col("attempt") >= g.max_retries)).cast("int").alias("t_exh"),
+            (F.col("attempt") > 1).cast("int").alias("t_inflight"),
+        )
         tagged = (
-            tag(batch, "t_sched")
+            sched_tags
             .unionByName(tag(cand, "t_cand"))
             .unionByName(tag(novel_probed, "t_novel"))
-            .unionByName(tag(sched_rows.filter(F.col("ok")), "t_docs"))
-            .unionByName(tag(
-                sched_rows.filter(~F.col("ok") & (F.col("attempt") < g.max_retries)),
-                "t_failr"))
-            .unionByName(tag(
-                sched_rows.filter(~F.col("ok") & (F.col("attempt") >= g.max_retries)),
-                "t_exh"))
-            .unionByName(tag(sched_rows.filter(F.col("attempt") > 1), "t_inflight"))
         )
         # ONE driver action over CACHED frames yields every remaining
         # counter and materializes cand/novel_probed/sched_rows for the
@@ -373,6 +381,7 @@ class CrawlEngine:
             .collect(),
             key=lambda r: r["host_salt"],
         )
+        t_stats = time.time()
         q_in = q_obs.get
         n_docs = sum(r["s_docs"] for r in stat_rows)
         n_cand = sum(r["s_cand"] for r in stat_rows)
@@ -463,6 +472,12 @@ class CrawlEngine:
         # - resolved gains rows only from successes or exhaustions.
         # (fetch_log is no longer a stored table at all: it is derived
         # on read from scheduled ⋈ documents — engine.fetch_log().)
+        # NOTE (measured, r3): collapsing these micro-batch appends to
+        # one task each (coalesce(1)) was tried and REGRESSED the
+        # commit phase 3.9s → 6.5s — the staged writes already run
+        # concurrently in threads, so 32-task writes overlap across
+        # cores while single-task writes serialize. Keep the parallel
+        # writers at every tier.
         writes = [
             (
                 "append",
@@ -518,6 +533,14 @@ class CrawlEngine:
         return {
             "cycle": c, "scheduled": n_sched, "discovered": n_novel,
             "deduped": n_cand - n_novel, "wall_ms": int((time.time() - t0) * 1000),
+            # phase attribution (observability; wall_ms stays the metric):
+            # fetch = read→schedule→fetch action, stats = tagged-union
+            # collect, commit = staging writes + manifest + mirror
+            "phase_ms": {
+                "fetch": int((t_fetch - t0) * 1000),
+                "stats": int((t_stats - t_fetch) * 1000),
+                "commit": int((time.time() - t_stats) * 1000),
+            },
             "stop": False,
         }
 
