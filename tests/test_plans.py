@@ -190,3 +190,37 @@ def test_ivf_plan_jvm_only_with_broadcast_centroids(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapCoGroupsInPandas",
                    "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_shingle_split_bound_once(spark):
+    """The words array must be bound to a column before the shingle
+    transform: an inline `shingles(words(text))` re-evaluates
+    split(trim(text)) inside the lambda for every element_at call —
+    O(words²) per document (measured 6× on the bench corpus). Exactly
+    one split per plan."""
+    from crawlspark.operators import dedup
+    from crawlspark.queries.relational import T
+
+    d = T(spark, "/root/testdata/sf0.001", "documents")
+    for df in (
+        dedup.shingle_table(d, "doc_id", "text", 2),
+        dedup.simhash(d, "doc_id", "text", nbits=8, token_k=2),
+    ):
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        assert p.count("split(") == 1, p
+
+
+def test_lang_id_zero_shuffles(spark):
+    """P9 language-ID is pure column math: one split, no Exchange, no
+    join, no Python stage — the whole prediction happens inside the
+    scan's project."""
+    from crawlspark.operators import textstats
+    from crawlspark.queries.relational import T
+
+    d = T(spark, "/root/testdata/sf0.001", "documents")
+    out = textstats.lang_id(d, "doc_id", "text", spark)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1, opt
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in phys, phys
