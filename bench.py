@@ -41,6 +41,7 @@ HEADLINE = [
     "q54_simhash_pairs",
     "q60_cosine_topk",
     "q61_ann_lsh",
+    "q64_ann_ivf",
 ]
 
 
