@@ -17,6 +17,19 @@ Scale design (10^9-document corpus):
 - SimHash uses pigeonhole banding: hamming ≤ max_ham over nbits with
   bands > max_ham guarantees a shared exact band, so the banded join
   finds exactly the brute-force pair set.
+
+Measured negative result (r3): rewriting signatures/fingerprints as
+shuffle-free per-row array math (transform/aggregate HOF lambdas —
+min over shingle occurrences == min over the distinct set, and the
+count-weighted simhash sum == the plain occurrence sum) REGRESSED
+every query 2–7× at sf0.1 (q51 4.2→31 s, q52 5.6→9.6 s, q54
+3.2→5.2 s, clean-window min-of-1 pairs): HOF lambda bodies are
+interpreted per element outside whole-stage codegen, so per-element
+md5 costs ~10× the codegen'd explode shape, and the narrow plan also
+inherits the scan's split count for parallelism (a single-row-group
+parquet file serializes the corpus onto one core). The explode +
+partial-agg shapes below keep codegen AND map-side combine; the
+shuffles they pay are n_docs×H rows, not corpus bytes.
 """
 
 from __future__ import annotations
