@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from .catalog import Catalog
 from .gen import host_config_df, seeds_df
 from .operators import fetch as fetch_ops
-from .operators import politeness, schedule, seen
+from .operators import cuckoo, politeness, schedule, seen
 from .schemas import METRICS
 from .synth import GraphConfig
 from .urlnorm import canonicalize_udf, resolve_canonicalize_udf, with_url_parts
@@ -84,6 +84,13 @@ class EngineConfig:
     # append only cost a rebuild, never correctness.
     bucketed_seen: bool = False
     seen_buckets: int = 64
+    # URL-seen sidecar flavor (north rule: "bloom/cuckoo URL-seen").
+    # "bloom": insert-only bitsets (operators/seen.py — smallest, JVM
+    # native fold/probe). "cuckoo": 16-bit-fingerprint cuckoo filter
+    # (operators/cuckoo.py — supports in-place deletion, so forget()
+    # edits the sidecar instead of rebuilding touched parts).
+    seen_sidecar: str = "bloom"
+    cuckoo_nbuckets: int = cuckoo.NBUCKETS_DEFAULT
 
 
 class CrawlEngine:
@@ -150,12 +157,43 @@ class CrawlEngine:
 
     @property
     def _broadcast_bloom(self) -> bool:
-        """Bloom probe strategy from config alone — no per-cycle Spark
-        jobs spent deciding (the sidecar size is n_parts × nbits/8 by
-        construction)."""
-        return (
-            self.cfg.n_seen_parts * (self.cfg.bloom_nbits // 8)
-            <= seen.BROADCAST_BLOOM_MAX_BYTES
+        """Probe strategy from config alone — no per-cycle Spark jobs
+        spent deciding (the sidecar size is fixed by construction:
+        n_parts × nbits/8 for Bloom, n_parts × 2·nbuckets·4 for
+        cuckoo)."""
+        if self.cfg.seen_sidecar == "cuckoo":
+            row = 2 * self.cfg.cuckoo_nbuckets * cuckoo.BUCKET_SIZE
+        else:
+            row = self.cfg.bloom_nbits // 8
+        return self.cfg.n_seen_parts * row <= seen.BROADCAST_BLOOM_MAX_BYTES
+
+    @property
+    def _sidecar_table(self) -> str:
+        return "cuckoo_seen" if self.cfg.seen_sidecar == "cuckoo" else "bloom_seen"
+
+    def _fold_sidecar(self, new_hashes: DataFrame, sidecar: DataFrame, c: int) -> DataFrame:
+        """C5 fold for whichever sidecar is configured; new_hashes must
+        carry (part, url_hash) of this cycle's novel rows only."""
+        if self.cfg.seen_sidecar == "cuckoo":
+            return cuckoo.fold_cuckoo(
+                new_hashes, sidecar, cycle_id=c, nbuckets=self.cfg.cuckoo_nbuckets
+            )
+        return seen.fold_bloom(
+            new_hashes, sidecar, cycle_id=c,
+            nbits=self.cfg.bloom_nbits, k=self.cfg.bloom_k,
+        )
+
+    def _seen_filter(self, cand, url_seen, sidecar, snap) -> DataFrame:
+        """C4 dispatch: probe the configured sidecar, exact anti-join
+        the survivors (identical exactness contract on both paths)."""
+        if self.cfg.seen_sidecar == "cuckoo":
+            return cuckoo.seen_filter(
+                cand, url_seen, sidecar, broadcast_filter=self._broadcast_bloom,
+                seen_mirror=self._ensure_seen_mirror(snap),
+            )
+        return seen.seen_filter(
+            cand, url_seen, sidecar, broadcast_bloom=self._broadcast_bloom,
+            seen_mirror=self._ensure_seen_mirror(snap),
         )
 
     def _host_config(self) -> DataFrame:
@@ -218,10 +256,10 @@ class CrawlEngine:
             "url_hash", "url_norm", F.lit(0).cast("long").alias("first_cycle"),
             self._part().alias("part"),
         )
-        bloom0 = seen.fold_bloom(
+        bloom0 = self._fold_sidecar(
             seen0.select("part", "url_hash"),
-            self.cat.read("bloom_seen"),  # empty
-            cycle_id=0, nbits=self.cfg.bloom_nbits, k=self.cfg.bloom_k,
+            self.cat.read(self._sidecar_table),  # empty
+            0,
         )
         hs0 = hc.select(
             "host", F.col("token_capacity").alias("tokens"),
@@ -233,7 +271,7 @@ class CrawlEngine:
         txn = self.cat.begin()
         txn.append("frontier", frontier0)
         txn.append("url_seen", seen0, partition_by=["part"])
-        txn.overwrite("bloom_seen", bloom0)
+        txn.overwrite(self._sidecar_table, bloom0)
         txn.overwrite("host_state", hs0)
         txn.overwrite("host_config", hc)
         txn.append("metrics", m0)
@@ -249,7 +287,7 @@ class CrawlEngine:
         snap = self.cat.current_snapshot()
         frontier = self.cat.read("frontier", snap)
         url_seen = self.cat.read("url_seen", snap)
-        bloom = self.cat.read("bloom_seen", snap)
+        bloom = self.cat.read(self._sidecar_table, snap)
         host_state = self.cat.read("host_state", snap)
         hc = self.cat.read("host_config", snap)
         resolved = self.cat.read("resolved", snap)
@@ -330,10 +368,7 @@ class CrawlEngine:
         # keep the persisted probe result under its own name: unpersist
         # needs the exact cached plan, so rebinding this to the
         # assign_seq output would leak one cache entry per cycle
-        novel_probed = seen.seen_filter(
-            cand, url_seen, bloom, broadcast_bloom=self._broadcast_bloom,
-            seen_mirror=self._ensure_seen_mirror(snap),
-        ).persist()
+        novel_probed = self._seen_filter(cand, url_seen, bloom, snap).persist()
 
         # per-partition (host_salt) lineage + counters: one tagged union
         # + one aggregation (single shuffle) instead of 5 groupBys + 4
@@ -430,10 +465,7 @@ class CrawlEngine:
             F.lit(c).cast("long").alias("last_cycle"),
         )
 
-        bloom_new = seen.fold_bloom(
-            novel_rows.select("part", "url_hash"), bloom,
-            cycle_id=c, nbits=self.cfg.bloom_nbits, k=self.cfg.bloom_k,
-        )
+        bloom_new = self._fold_sidecar(novel_rows.select("part", "url_hash"), bloom, c)
         self.max_seq += n_novel
         wall_ms = int((time.time() - t0) * 1000)
         per_salt = {int(r["host_salt"]): r for r in stat_rows}
@@ -504,7 +536,7 @@ class CrawlEngine:
                     ),
                     ["part"],
                 ),
-                ("overwrite", "bloom_seen", bloom_new, None),
+                ("overwrite", self._sidecar_table, bloom_new, None),
                 ("append", "edges", edges_delta, None),
             ]
         if n_docs:
@@ -590,6 +622,86 @@ class CrawlEngine:
         if self.cfg.bucketed_seen and self._mirror_marker().exists():
             self._mirror_marker().write_text(f"{self._mirror_table}:{folded['id']}")
         return folded
+
+    def forget(self, urls) -> dict:
+        """Drop URLs from the crawl's seen identity (re-crawl
+        scheduling, takedown, TTL expiry): one atomic commit removes
+        the exact `url_seen` rows, edits the sidecar, and clears any
+        frontier/resolved/retry state for those keys, so the next
+        discovery of the URL is treated as novel and re-queued through
+        the normal politeness/priority path. Sequence numbers are
+        never reused (max_seq stays monotone), so re-crawled rows sort
+        strictly after their first crawl in the ordering contract.
+
+        Sidecar handling is where the bloom/cuckoo choice shows:
+        - cuckoo: fingerprints are deleted IN PLACE (O(1) per key,
+          only touched parts rewritten) — sound because the targets
+          are semi-joined against the exact table first and the fold
+          retains duplicate fingerprints (operators/cuckoo.py).
+        - bloom: bitsets can't delete, so each touched part is rebuilt
+          from its remaining exact rows (cost ∝ part size — the
+          honest price of the smaller sidecar).
+
+        `urls`: DataFrame with a `url` column (canonicalized here) or
+        an iterable of URL strings. Returns {"forgotten": n}."""
+        if not isinstance(urls, DataFrame):
+            urls = self.spark.createDataFrame([(u,) for u in urls], "url string")
+        req = (
+            urls.withColumn("url_norm", canonicalize_udf("url"))
+            .filter(F.col("url_norm").isNotNull())
+            .select("url_norm")
+            .distinct()
+            .withColumn("url_hash", F.xxhash64("url_norm"))
+        )
+        snap = self.cat.current_snapshot()
+        keys = ["url_hash", "url_norm"]
+        url_seen = self.cat.read("url_seen", snap)
+        sidecar = self.cat.read(self._sidecar_table, snap)
+        targets = url_seen.join(req, keys, "left_semi").persist()
+        n = targets.count()
+        if n == 0:
+            targets.unpersist()
+            return {"forgotten": 0}
+        remaining = url_seen.join(targets.select(*keys), keys, "left_anti")
+        cyc = (snap or {}).get("cycle_id", 0)
+        if self.cfg.seen_sidecar == "cuckoo":
+            sidecar_new = cuckoo.delete_cuckoo(
+                targets.select("part", "url_hash"), sidecar, cycle_id=cyc
+            )
+        else:
+            # rebuild only the touched parts from their remaining keys;
+            # a touched part left empty simply has no row (probe: False,
+            # which is exact — nothing remains in url_seen there either)
+            touched = targets.select("part").distinct()
+            sidecar_new = seen.fold_bloom(
+                remaining.join(touched, "part", "left_semi").select("part", "url_hash"),
+                sidecar.join(touched, "part", "left_anti"),
+                cycle_id=cyc, nbits=self.cfg.bloom_nbits, k=self.cfg.bloom_k,
+            )
+        frontier_new = self.cat.read("frontier", snap).join(
+            targets.select(*keys), keys, "left_anti"
+        )
+        resolved_new = self.cat.read("resolved", snap).join(
+            targets.select(*keys), keys, "left_anti"
+        )
+        retry_new = self.cat.read("retry_state", snap).join(
+            targets.select(*keys), keys, "left_anti"
+        )
+        txn = self.cat.begin()
+        txn.overwrite("url_seen", remaining, partition_by=["part"])
+        txn.overwrite(self._sidecar_table, sidecar_new)
+        txn.overwrite("frontier", frontier_new)
+        txn.overwrite("resolved", resolved_new)
+        txn.overwrite("retry_state", retry_new)
+        txn.commit(
+            cycle_id=cyc,
+            meta={**((snap or {}).get("meta") or {}), "forgotten": n},
+        )
+        targets.unpersist()
+        # url_seen content changed: the stale mirror marker no longer
+        # matches the new snapshot, so the derived bucketed index is
+        # rebuilt lazily on the next cycle's _ensure_seen_mirror
+        return {"forgotten": n}
 
     # -- verification views ----------------------------------------------------
 

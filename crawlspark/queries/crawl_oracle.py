@@ -247,7 +247,11 @@ def build_crawl_oracles(cfg: GraphConfig = UNIT) -> dict[str, str]:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    return {
+    sql = {
         name: f"SELECT * FROM read_parquet('{out_dir}/{name}.parquet')"
         for name in _NAMES
     }
+    # q87 runs the crawl with the cuckoo sidecar; its contract is the
+    # SAME final seen set, so it replays q81's expectation table
+    sql["q87_cuckoo_seen"] = sql["q81_crawl_seen"]
+    return sql

@@ -27,14 +27,20 @@ from ..synth import UNIT
 _ENGINE_CACHE: dict[str, CrawlEngine] = {}
 
 
-def _engine(spark) -> CrawlEngine:
+def _engine(spark, sidecar: str = "bloom") -> CrawlEngine:
     from . import pin_session
 
     pin_session(spark)
-    key = "unit"
+    key = f"unit-{sidecar}"
     if key not in _ENGINE_CACHE:
         wh = tempfile.mkdtemp(prefix="crawlspark-q-")
-        eng = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=wh))
+        eng = CrawlEngine(
+            spark,
+            EngineConfig(graph=UNIT, warehouse=wh, seen_sidecar=sidecar,
+                         # small parts keep the UNIT sidecar tiny; the
+                         # fill level is irrelevant to the contract
+                         cuckoo_nbuckets=1 << 10),
+        )
         eng.run()
         _ENGINE_CACHE[key] = eng
     return _ENGINE_CACHE[key]
@@ -115,6 +121,16 @@ def q85_pagerank(spark, sf):
     return graph.pagerank(edges, damping=0.85, iterations=6)
 
 
+def q87_cuckoo_seen(spark, sf):
+    """The same crawl run with the CUCKOO seen-sidecar (EngineConfig
+    seen_sidecar='cuckoo', operators/cuckoo.py) must land the exact
+    URL-seen set the refsim predicts — the bloom/cuckoo half of the
+    north rule checked through the driver's harness. Oracle: identical
+    expectation table to q81 (the sidecar choice must not change the
+    engine's output)."""
+    return _engine(spark, "cuckoo").seen_set().select("url_norm", "first_cycle")
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -123,6 +139,7 @@ QUERIES = {
     "q84_media_features": q84_media_features,
     "q85_pagerank": q85_pagerank,
     "q86_frame_sample": q86_frame_sample,
+    "q87_cuckoo_seen": q87_cuckoo_seen,
 }
 
 ORACLE: dict[str, str] = {}

@@ -118,6 +118,21 @@ BLOOM_SEEN = T.StructType(
     ]
 )
 
+CUCKOO_SEEN = T.StructType(
+    [
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("cycle_id", T.LongType(), False),
+        T.StructField("nbuckets", T.LongType(), False),
+        T.StructField("bucket_size", T.IntegerType(), False),
+        # kick budget exhausted while inserting: the probe answers
+        # all-maybe for this part (exact anti-join takes over) so the
+        # no-false-negative contract survives a full filter
+        T.StructField("overflow", T.BooleanType(), False),
+        # little-endian uint16 fingerprints, nbuckets*bucket_size slots
+        T.StructField("bits", T.BinaryType(), False),
+    ]
+)
+
 # One robots rule. Plain rules match by path prefix; rules whose
 # robots.txt path contained '*' or '$' carry a compiled regex in
 # `pattern` (anchored at path start). `spec` = length of the original
@@ -197,6 +212,7 @@ TABLE_SCHEMAS = {
     "edges": EDGES,
     "url_seen": URL_SEEN,
     "bloom_seen": BLOOM_SEEN,
+    "cuckoo_seen": CUCKOO_SEEN,
     "host_config": HOST_CONFIG,
     "host_state": HOST_STATE,
     "fetch_log": FETCH_LOG,
