@@ -115,3 +115,62 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFr
     return df.select(
         F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("t")
     ).select("id", F.array_min(hashes).alias("fp"))
+
+
+# --- repetition signals (Gopher-style quality filters) -------------------
+
+def _word_grams(w: Column, n: int) -> Column:
+    """Word n-grams of a bound words-array column, space-joined. All
+    indexes are in range by the sequence bound, so element_at never
+    throws; documents shorter than n yield an empty array."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(j)) for j in range(n)]),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition signals per document — the filters LLM corpus
+    pipelines key on (the Gopher paper's "repetition" family):
+
+    - dup_bigram_frac / dup_trigram_frac: fraction of word n-grams
+      that are repeats of an earlier gram (1 - distinct/total);
+    - top_bigram_cover: share of all bigrams taken by the single most
+      frequent bigram (boilerplate/keyword-stuffing signal).
+
+    Pure column math per row (split once, grams bound to attributes,
+    nested HOF count for the mode) — narrow, zero shuffles, linear in
+    corpus bytes at 100 TB. The mode count is O(distinct²) per doc,
+    bounded by document word count, never by corpus size."""
+
+    def dup_frac(g: Column) -> Column:
+        return F.when(
+            F.size(g) > 0,
+            F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 6),
+        ).otherwise(F.lit(0.0))
+
+    def top_cover(g: Column) -> Column:
+        counts = F.transform(
+            F.array_distinct(g),
+            lambda x: F.size(F.filter(g, lambda y: y == x)),
+        )
+        return F.when(
+            F.size(g) > 0, F.round(F.array_max(counts) / F.size(g), 6)
+        ).otherwise(F.lit(0.0))
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"), words(text_col).alias("_w")
+        )
+        .select(
+            "id", _word_grams(F.col("_w"), 2).alias("_g2"),
+            _word_grams(F.col("_w"), 3).alias("_g3"),
+        )
+        .select(
+            "id",
+            dup_frac(F.col("_g2")).alias("dup_bigram_frac"),
+            dup_frac(F.col("_g3")).alias("dup_trigram_frac"),
+            top_cover(F.col("_g2")).alias("top_bigram_cover"),
+        )
+    )

@@ -133,15 +133,105 @@ FROM documents
 """
 
 
+# --- repetition signals (Gopher-style corpus filters) --------------------
+
+def q46_repetition(spark, sf):
+    """Duplicate word-n-gram fractions + top-bigram coverage per doc
+    (operators/textstats.with_repetition) — the repetition family of
+    LLM corpus quality filters, as zero-shuffle column math."""
+    d = T(spark, sf, "documents")
+    return textstats.with_repetition(d, "doc_id", "text")
+
+
+SQL46 = """
+SELECT id,
+       CASE WHEN len(g2) > 0
+            THEN round(1 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN len(g3) > 0
+            THEN round(1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_trigram_frac,
+       CASE WHEN len(g2) > 0
+            THEN round(list_max(list_transform(list_distinct(g2),
+                       x -> len(list_filter(g2, y -> y = x))))
+                 / CAST(len(g2) AS DOUBLE), 6)
+            ELSE 0.0 END AS top_bigram_cover
+FROM (
+  SELECT id,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              ELSE [] END AS g2,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS g3
+  FROM (SELECT doc_id AS id, string_split(trim(text), ' ') AS w FROM documents)
+)
+"""
+
+
+# --- benchmark decontamination (shared-n-gram scan) ----------------------
+
+def q47_contamination(spark, sf):
+    """Corpus decontamination: flag documents sharing any word 4-gram
+    with a benchmark set (here: doc_id < 5 stands in for the eval
+    suite). Spark shape for 100 TB: the benchmark's distinct grams are
+    tiny by definition (evals are MBs), so they BROADCAST; the corpus
+    side is a narrow explode + partial-agg distinct count — one
+    shuffle on doc_id, no corpus-vs-corpus join ever."""
+    from ..operators.textstats import _word_grams
+    from ..portable import words
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", words("text").alias("_w")
+    ).select("doc_id", _word_grams(F.col("_w"), 4).alias("_g"))
+    bench = (
+        d.filter(F.col("doc_id") < 5)
+        .select(F.explode("_g").alias("gram"))
+        .distinct()
+    )
+    corpus = d.filter(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode("_g").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
+
+
+SQL47 = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 4
+              THEN list_transform(range(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              ELSE [] END AS grams
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+),
+bench AS (
+  SELECT DISTINCT gram FROM g, UNNEST(g.grams) AS t(gram) WHERE doc_id < 5
+)
+SELECT doc_id, count(DISTINCT gram) AS n_shared_grams
+FROM (SELECT doc_id, gram FROM g, UNNEST(g.grams) AS t(gram) WHERE doc_id >= 5)
+JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
     "q42_lang_id": q42_lang_id,
     "q43_fingerprint": q43_fingerprint,
     "q44_media_meta": q44_media_meta,
+    "q46_repetition": q46_repetition,
+    "q47_contamination": q47_contamination,
 }
 
 ORACLE = {
+    "q46_repetition": SQL46,
+    "q47_contamination": SQL47,
     "q40_token_stats": SQL40,
     "q41_quality": SQL41,
     "q42_lang_id": SQL42,
