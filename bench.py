@@ -67,7 +67,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def run_crawl(spark, cfg=None, warmup_cycles: int = 1) -> dict:
+def run_crawl(spark, cfg=None, warmup_cycles: int = 1, sidecar: str = "bloom") -> dict:
     """Crawl throughput per BASELINE.md: URLs (scheduled + deduped) per
     second over measured cycles (cycle 1 discarded as warm-up), counts
     taken from the engine's own metrics table."""
@@ -80,7 +80,8 @@ def run_crawl(spark, cfg=None, warmup_cycles: int = 1) -> dict:
     wh = tempfile.mkdtemp(prefix="crawlspark-bench-")
     eng = CrawlEngine(
         spark,
-        EngineConfig(graph=g, warehouse=wh, n_salt=32, n_seen_parts=32),
+        EngineConfig(graph=g, warehouse=wh, n_salt=32, n_seen_parts=32,
+                     seen_sidecar=sidecar),
     )
     eng.bootstrap()
     stats = []
@@ -236,6 +237,9 @@ def main():
     # crawl throughput is fixed-cost-bound at the micro-batch tier and
     # rises ~5x when cycles carry production-sized batches
     ap.add_argument("--crawl-design", action="store_true")
+    # seen-sidecar flavor for the crawl tiers (bloom = default engine
+    # config; cuckoo = operators/cuckoo.py, deletable fingerprints)
+    ap.add_argument("--sidecar", default="bloom", choices=["bloom", "cuckoo"])
     args = ap.parse_args()
 
     from crawlspark.session import get_spark
@@ -252,11 +256,11 @@ def main():
     if args.crawl_design:
         from crawlspark.synth import DESIGN
 
-        crawl_design = run_crawl(spark, cfg=DESIGN)
+        crawl_design = run_crawl(spark, cfg=DESIGN, sidecar=args.sidecar)
     if not (args.crawl_only or args.frontier_only or args.crawl_design):
         qtimes = run_queries(spark, sf_dir)
     if not (args.queries_only or args.frontier_only or args.crawl_design):
-        crawl = run_crawl(spark)
+        crawl = run_crawl(spark, sidecar=args.sidecar)
     if not (args.queries_only or args.crawl_only or args.crawl_design):
         frontier = run_frontier_scale(spark, n_urls=args.frontier_urls)
     total = round(time.time() - t0, 3)

@@ -61,6 +61,23 @@ class Catalog:
     def snapshot(self, name: str) -> dict:
         return json.loads((self.root / "snapshots" / name).read_text())
 
+    def snapshots(self) -> list[dict]:
+        """All committed snapshots, oldest first — the time-travel
+        listing (Iceberg `.snapshots` metadata-table analogue)."""
+        return [
+            json.loads(p.read_text())
+            for p in sorted((self.root / "snapshots").glob("s*.json"))
+        ]
+
+    def snapshot_for_cycle(self, cycle_id: int) -> dict | None:
+        """Latest snapshot committed for a cycle — `FOR VERSION AS OF`
+        keyed by the crawl's own lineage counter."""
+        hit = None
+        for s in self.snapshots():
+            if s.get("cycle_id") == cycle_id:
+                hit = s
+        return hit
+
     # -- reads -------------------------------------------------------------
 
     def read(self, table: str, snap: dict | None = None) -> DataFrame:

@@ -254,4 +254,15 @@ def build_crawl_oracles(cfg: GraphConfig = UNIT) -> dict[str, str]:
     # q87 runs the crawl with the cuckoo sidecar; its contract is the
     # SAME final seen set, so it replays q81's expectation table
     sql["q87_cuckoo_seen"] = sql["q81_crawl_seen"]
+    # q88: the engine forgets the 5 lexicographically-first seen URLs;
+    # expected = q81 minus exactly those keys (pure-SQL exclusion so the
+    # cached-parquet path needs no recomputation)
+    q81_pq = f"read_parquet('{out_dir}/q81_crawl_seen.parquet')"
+    sql["q88_forget_recrawl"] = (
+        f"SELECT * FROM {q81_pq} WHERE url_norm NOT IN "
+        f"(SELECT url_norm FROM {q81_pq} ORDER BY url_norm LIMIT 5)"
+    )
+    # q89: url_seen pinned to the cycle-3 snapshot == discoveries with
+    # first_cycle <= 3
+    sql["q89_time_travel"] = f"SELECT * FROM {q81_pq} WHERE first_cycle <= 3"
     return sql

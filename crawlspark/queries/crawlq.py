@@ -131,6 +131,50 @@ def q87_cuckoo_seen(spark, sf):
     return _engine(spark, "cuckoo").seen_set().select("url_norm", "first_cycle")
 
 
+def _engine_forgotten(spark) -> CrawlEngine:
+    """UNIT crawl (cuckoo sidecar) with the 5 lexicographically-first
+    seen URLs forgotten after completion — memoized post-forget."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-forget"
+    if key not in _ENGINE_CACHE:
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(
+            spark,
+            EngineConfig(graph=UNIT, warehouse=wh, seen_sidecar="cuckoo",
+                         cuckoo_nbuckets=1 << 10),
+        )
+        eng.run()
+        victims = [
+            r["url_norm"]
+            for r in eng.seen_set().orderBy("url_norm").limit(5).collect()
+        ]
+        assert eng.forget(victims)["forgotten"] == 5
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q88_forget_recrawl(spark, sf):
+    """forget() through the driver's harness: after forgetting the 5
+    lexicographically-first seen URLs (cuckoo sidecar: in-place
+    fingerprint deletes + exact-row removal in one atomic commit), the
+    seen set must equal the refsim expectation minus exactly those
+    keys. Oracle: q81's table with the same ORDER BY/LIMIT exclusion
+    in pure SQL."""
+    return _engine_forgotten(spark).seen_set().select("url_norm", "first_cycle")
+
+
+def q89_time_travel(spark, sf):
+    """Snapshot time travel (C16 lineage): url_seen read pinned to the
+    cycle-3 snapshot must equal the refsim seen set restricted to
+    first_cycle <= 3 — every later discovery invisible, every earlier
+    one present. Oracle: q81's table filtered in SQL."""
+    eng = _engine(spark)
+    snap = eng.cat.snapshot_for_cycle(3)
+    return eng.cat.read("url_seen", snap).select("url_norm", "first_cycle")
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -140,6 +184,8 @@ QUERIES = {
     "q85_pagerank": q85_pagerank,
     "q86_frame_sample": q86_frame_sample,
     "q87_cuckoo_seen": q87_cuckoo_seen,
+    "q88_forget_recrawl": q88_forget_recrawl,
+    "q89_time_travel": q89_time_travel,
 }
 
 ORACLE: dict[str, str] = {}
