@@ -211,6 +211,82 @@ def _cogroup_op(
     return changed.unionByName(untouched)
 
 
+def _native_cuckoo_loaded(spark) -> bool:
+    from . import seen as seen_mod
+
+    if not seen_mod._native_loaded(spark):
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName("crawlspark.nativejvm.CuckooFilter")
+        return True
+    except Exception:
+        return False  # older jar without the cuckoo class
+
+
+def fold_cuckoo_native(
+    new_hashes: DataFrame, cuckoo: DataFrame, cycle_id: int,
+    nbuckets: int, bucket_size: int, max_kicks: int, op: str = "insert",
+) -> DataFrame | None:
+    """Fold (or delete) with zero Python stages (native/src/
+    CuckooFilter.scala): the per-part hash list is gathered JVM-side —
+    sort_array(collect_list(...)), the same shuffle shape as the
+    cogroup, since cuckoo layout depends on insert order and therefore
+    cannot partial-aggregate like the Bloom OR — and a scalar JVM UDF
+    applies the sorted sequential insert/delete. Bit-identical to the
+    Python fold (property-tested). None when the jar isn't loaded.
+
+    Registration pins nbuckets/bucket_size/max_kicks as constants, so
+    callers must keep them fixed per sidecar (the engine does); the
+    Python path reads them from the row instead."""
+    spark = new_hashes.sparkSession
+    if not _native_cuckoo_loaded(spark):
+        return None
+    spark._jvm.crawlspark.nativejvm.CuckooFilter.register(
+        spark._jsparkSession, "crawlspark_cuckoo_fold",
+        nbuckets, bucket_size, max_kicks,
+    )
+    grouped = new_hashes.groupBy("part").agg(
+        F.sort_array(F.collect_list("url_hash")).alias("hs")
+    )
+    joined = grouped.join(cuckoo.select("part", "overflow", "bits"), "part", "left")
+    if op == "insert":
+        staged = joined.select(
+            "part",
+            F.expr(
+                "crawlspark_cuckoo_fold(bits, coalesce(overflow, false), hs)"
+            ).alias("_st"),
+        )
+        changed = staged.select(
+            "part",
+            F.lit(cycle_id).cast("long").alias("cycle_id"),
+            F.lit(nbuckets).cast("long").alias("nbuckets"),
+            F.lit(bucket_size).cast("int").alias("bucket_size"),
+            F.col("_st._2").alias("overflow"),
+            F.col("_st._1").alias("bits"),
+        )
+    else:
+        # delete: rows must exist (targets are semi-joined against the
+        # exact table, whose parts were folded); missing rows no-op out
+        # via the inner join below, matching the cogroup's behavior
+        joined = grouped.join(
+            cuckoo.select("part", "cycle_id", "nbuckets", "bucket_size",
+                          "overflow", "bits"),
+            "part", "inner",
+        )
+        changed = joined.select(
+            "part",
+            F.lit(cycle_id).cast("long").alias("cycle_id"),
+            "nbuckets", "bucket_size", "overflow",
+            F.expr("crawlspark_cuckoo_fold_del(bits, hs)").alias("bits"),
+        )
+    untouched = cuckoo.join(grouped.select("part"), "part", "left_anti")
+    out = changed.unionByName(untouched.select(*changed.columns))
+    # JVM plans keep the input lineage (same caveat as fold_bloom_native):
+    # re-alias every column so composing with overlapping sources never
+    # trips the ambiguous-self-join check
+    return out.select(*[F.col(c).alias(c) for c in out.columns])
+
+
 def fold_cuckoo(
     new_hashes: DataFrame,  # columns: part int, url_hash long
     cuckoo: DataFrame,  # current cuckoo_seen table
@@ -220,7 +296,14 @@ def fold_cuckoo(
     max_kicks: int = MAX_KICKS,
 ) -> DataFrame:
     """C5 analogue: insert this cycle's novel url_hashes into each
-    partition's filter. Untouched parts keep their old row."""
+    partition's filter. Untouched parts keep their old row. Dispatches
+    to the JVM fold when the native jar is loaded (same bits, no
+    Python stage); the cogroup below is the universal fallback."""
+    native = fold_cuckoo_native(
+        new_hashes, cuckoo, cycle_id, nbuckets, bucket_size, max_kicks
+    )
+    if native is not None:
+        return native
     return _cogroup_op(
         new_hashes, cuckoo, cycle_id, nbuckets, bucket_size, max_kicks, "insert"
     )
@@ -234,7 +317,35 @@ def delete_cuckoo(
     """Remove keys from the sidecar in place — the operation a Bloom
     bitset cannot do (operators/seen.py rebuilds the part instead).
     Callers must pass only keys present in the exact table."""
+    spark = del_hashes.sparkSession
+    if _native_cuckoo_loaded(spark):
+        # geometry from the table itself (delete has no config context);
+        # one tiny collect — forgets are rare relative to folds
+        first = cuckoo.select("nbuckets", "bucket_size").limit(1).collect()
+        if first:
+            native = fold_cuckoo_native(
+                del_hashes, cuckoo, cycle_id,
+                int(first[0][0]), int(first[0][1]), MAX_KICKS, op="delete",
+            )
+            if native is not None:
+                return native
     return _cogroup_op(del_hashes, cuckoo, cycle_id, 0, 0, 0, "delete")
+
+
+def cuckoo_prefilter_native(candidates: DataFrame, cuckoo: DataFrame) -> DataFrame | None:
+    """Adds `maybe_seen` via the JVM-native probe (CuckooFilter.scala):
+    tables collected + broadcast once, probed by a registered JVM UDF —
+    no Python/Arrow on the per-URL hot path. None when the jar isn't
+    loaded. Re-registration destroys the previous cycle's broadcast."""
+    spark = candidates.sparkSession
+    if not _native_cuckoo_loaded(spark):
+        return None
+    spark._jvm.crawlspark.nativejvm.CuckooFilter.registerProbe(
+        spark._jsparkSession, cuckoo._jdf, "crawlspark_cuckoo_probe"
+    )
+    return candidates.withColumn(
+        "maybe_seen", F.expr("crawlspark_cuckoo_probe(part, url_hash)")
+    )
 
 
 def cuckoo_prefilter_broadcast(candidates: DataFrame, cuckoo: DataFrame) -> DataFrame:
@@ -323,7 +434,9 @@ def seen_filter(
         else:
             broadcast_filter = True
     if broadcast_filter:
-        probed = cuckoo_prefilter_broadcast(candidates, cuckoo)
+        probed = cuckoo_prefilter_native(candidates, cuckoo)
+        if probed is None:
+            probed = cuckoo_prefilter_broadcast(candidates, cuckoo)
     else:
         probed = cuckoo_prefilter(candidates, cuckoo)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")

@@ -202,6 +202,10 @@ def release_broadcasts(spark=None) -> None:
     _BROADCASTS.clear()
     if spark is not None and _native_loaded(spark):
         spark._jvm.crawlspark.nativejvm.BloomProbe.release()
+        try:
+            spark._jvm.crawlspark.nativejvm.CuckooFilter.release()
+        except Exception:
+            pass  # jar predates the cuckoo class
 
 
 def _native_loaded(spark) -> bool:

@@ -211,3 +211,88 @@ def test_forget_allows_recrawl(spark, unit_engines, flavor):
     seen.release_broadcasts(spark)
     # max_seq monotone: re-crawled discoveries get strictly newer seqs
     assert int((snap.get("meta") or {}).get("max_seq", 0)) <= eng.max_seq
+
+
+# --- JVM-native fold/probe/delete parity (CuckooFilter.scala) ------------
+
+def _force_python(monkeypatch):
+    monkeypatch.setenv("CRAWLSPARK_NO_NATIVE", "1")
+
+
+def test_native_fold_matches_python(spark, monkeypatch):
+    if not cuckoo._native_cuckoo_loaded(spark):
+        pytest.skip("native jar not on classpath")
+    ins = _rand_hashes(7, 4000)
+    nat = {
+        r["part"]: r
+        for r in cuckoo.fold_cuckoo(
+            _keys_df(spark, ins), _empty(spark), cycle_id=1, nbuckets=1 << 12
+        ).collect()
+    }
+    _force_python(monkeypatch)
+    py = {
+        r["part"]: r
+        for r in cuckoo.fold_cuckoo(
+            _keys_df(spark, ins), _empty(spark), cycle_id=1, nbuckets=1 << 12
+        ).collect()
+    }
+    assert set(nat) == set(py)
+    for p in py:
+        assert nat[p]["bits"] == py[p]["bits"]
+        assert nat[p]["overflow"] == py[p]["overflow"]
+
+
+def test_native_iterated_fold_and_delete_match_python(spark, monkeypatch):
+    if not cuckoo._native_cuckoo_loaded(spark):
+        pytest.skip("native jar not on classpath")
+    a, b = _rand_hashes(8, 2000), _rand_hashes(9, 2000)
+
+    def run():
+        step = cuckoo.fold_cuckoo(
+            _keys_df(spark, a), _empty(spark), cycle_id=1, nbuckets=1 << 12
+        )
+        step = cuckoo.fold_cuckoo(_keys_df(spark, b), step, cycle_id=2,
+                                  nbuckets=1 << 12)
+        step = cuckoo.delete_cuckoo(_keys_df(spark, b[:500]), step, cycle_id=3)
+        return {r["part"]: r for r in step.collect()}
+
+    nat = run()
+    _force_python(monkeypatch)
+    py = run()
+    for p in py:
+        assert nat[p]["bits"] == py[p]["bits"]
+        assert nat[p]["overflow"] == py[p]["overflow"]
+
+
+def test_native_probe_matches_python_and_has_no_python_stage(spark):
+    if not cuckoo._native_cuckoo_loaded(spark):
+        pytest.skip("native jar not on classpath")
+    ins = _rand_hashes(10, 3000)
+    ck = cuckoo.fold_cuckoo(
+        _keys_df(spark, ins), _empty(spark), cycle_id=1, nbuckets=1 << 12
+    )
+    probe = np.concatenate([ins[:500], _rand_hashes(11, 500)])
+    cand = _keys_df(spark, probe)
+    nat = cuckoo.cuckoo_prefilter_native(cand, ck)
+    got = {(r["part"], r["url_hash"]): r["maybe_seen"] for r in nat.collect()}
+    exp = {
+        (r["part"], r["url_hash"]): r["maybe_seen"]
+        for r in cuckoo.cuckoo_prefilter_broadcast(cand, ck).collect()
+    }
+    assert got == exp
+    plan = nat._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # probe never crosses into Python
+    from crawlspark.operators import seen as seen_mod
+
+    seen_mod.release_broadcasts(spark)
+
+
+def test_native_fold_plan_has_no_python_stage(spark):
+    if not cuckoo._native_cuckoo_loaded(spark):
+        pytest.skip("native jar not on classpath")
+    df = cuckoo.fold_cuckoo(
+        _keys_df(spark, _rand_hashes(12, 100)), _empty(spark),
+        cycle_id=1, nbuckets=1 << 12,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
