@@ -703,6 +703,74 @@ class CrawlEngine:
         # rebuilt lazily on the next cycle's _ensure_seen_mirror
         return {"forgotten": n}
 
+    def reseed(self, urls) -> dict:
+        """Active re-crawl: re-queue URLs for fetching regardless of
+        seen state. forget() first drops their old identity, then they
+        are injected as fresh depth-0 discoveries through the standard
+        canonicalize → robots → score path with strictly-new seqs, so
+        the ordering contract stays monotone and the re-fetch competes
+        in the next cycle's batch by (score, seq) like any discovery.
+        URLs on hosts outside host_config are dropped by the robots
+        join, exactly as discovered links are. Seq assignment is a
+        single-partition window — reseed lists are operator-issued and
+        small; bulk re-crawls should loop in bounded chunks."""
+        if not isinstance(urls, DataFrame):
+            urls = self.spark.createDataFrame([(u,) for u in urls], "url string")
+        urls = urls.persist()
+        self.forget(urls)
+        snap = self.cat.current_snapshot()
+        cyc = (snap or {}).get("cycle_id", 0)
+        hc = self.cat.read("host_config", snap)
+        f = (
+            urls.withColumn("url_norm", canonicalize_udf("url"))
+            .filter(F.col("url_norm").isNotNull())
+            .select("url_norm")
+            .distinct()
+        )
+        f = with_url_parts(f)
+        f = politeness.robots_filter(f, hc)
+        f = schedule.with_salt(f, self.cfg.n_salt)
+        f = f.withColumn("depth", F.lit(0))
+        f = schedule.with_score(f)
+        f = (
+            f.withColumn(
+                "seq",
+                (F.row_number().over(Window.orderBy("url_norm"))
+                 + F.lit(self.max_seq)).cast("long"),
+            )
+            .withColumn("discovered_from", F.lit(None).cast("string"))
+            .withColumn("cycle_id", F.lit(cyc).cast("long"))
+            .withColumn("part", self._part())
+        )
+        rows = f.select(*FRONTIER_COLS, "part").persist()
+        n = rows.count()
+        if n == 0:
+            rows.unpersist()
+            urls.unpersist()
+            return {"reseeded": 0}
+        seen_delta = rows.select(
+            "url_hash", "url_norm",
+            F.lit(cyc).cast("long").alias("first_cycle"), "part",
+        )
+        sidecar_new = self._fold_sidecar(
+            rows.select("part", "url_hash"),
+            self.cat.read(self._sidecar_table, snap), cyc,
+        )
+        self.max_seq += n
+        txn = self.cat.begin()
+        txn.append("frontier", rows.select(*FRONTIER_COLS))
+        txn.append("url_seen", seen_delta, partition_by=["part"])
+        txn.overwrite(self._sidecar_table, sidecar_new)
+        new_snap = txn.commit(
+            cycle_id=cyc,
+            meta={**((snap or {}).get("meta") or {}),
+                  "max_seq": self.max_seq, "reseeded": n},
+        )
+        self._mirror_append(rows, new_snap)
+        rows.unpersist()
+        urls.unpersist()
+        return {"reseeded": n}
+
     # -- verification views ----------------------------------------------------
 
     def crawl_order(self) -> DataFrame:

@@ -27,9 +27,12 @@ _MODULES = [relational, textq, dedupq, simq, streamq, crawlq]
 # listed here or not — runs under tools/check_oracle.py, whose full
 # per-round report is committed (BENCH/ORACLE_REPORT_r*.txt).
 _WINDOW = [
-    # crawl engine (C1–C19 composed; the north-star contract)
+    # crawl engine (C1–C19 composed; the north-star contract), plus
+    # the engine-feature contracts: q88 forget()+cuckoo sidecar, q89
+    # snapshot time travel (both refsim-oracle-checked)
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
+    "q88_forget_recrawl", "q89_time_travel",
     # streaming S1–S6
     "q90_stream_window_rates", "q91_stream_sessions",
     "q92_stream_token_buckets",
@@ -50,10 +53,13 @@ _WINDOW = [
     "q04_order_priority", "q05_customers_without_orders",
     # (q09 exact/count-distinct moved to the tail: R13's count-distinct
     # runs in-window via q29's countDistinct and q15_setops' distincts)
-    "q06_parts_with_bulk_orders", "q07_ship_latency",
+    # (q06 moved to the tail: R5 filter predicates stay in-window via
+    # q02; q19 moved to the tail: it evidences no §2 row that q50/q13
+    # don't already cover — both still run under check_oracle)
+    "q07_ship_latency",
     "q08_region_status_grid", "q10_group_families",
     "q12_top_orders_per_cust", "q13_running_total", "q14_topk_orders",
-    "q15_setops", "q17_vector_stats", "q18_doc_pivot", "q19_first_event",
+    "q15_setops", "q17_vector_stats", "q18_doc_pivot",
     "q20_json_props", "q25_asof_orders", "q26_bucketed_antijoin",
     "q28_string_funcs", "q29_date_funcs", "q30_array_funcs",
     "q31_map_funcs", "q32_conditionals", "q35_semi_scan",

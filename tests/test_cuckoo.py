@@ -296,3 +296,66 @@ def test_native_fold_plan_has_no_python_stage(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# --- reseed (active re-crawl) --------------------------------------------
+
+@pytest.mark.parametrize("flavor", ["bloom", "cuckoo"])
+def test_reseed_requeues_and_refetches(spark, tmp_path_factory, flavor):
+    from crawlspark.synth import GraphConfig
+
+    g = GraphConfig(n_sites=4, max_pages=12, batch_size=8, max_cycles=3)
+    wh = tmp_path_factory.mktemp(f"wh-reseed-{flavor}")
+    eng = CrawlEngine(
+        spark,
+        EngineConfig(graph=g, warehouse=str(wh), seen_sidecar=flavor,
+                     cuckoo_nbuckets=1 << 10),
+    )
+    stats = eng.run()
+    last_c = stats[-1]["cycle"]
+    fetched = [
+        r["url_norm"]
+        for r in eng.crawl_order().filter("ok").orderBy("url_norm").limit(2).collect()
+    ]
+    pre = eng.crawl_order().select("url_norm", "seq", "cycle_id").collect()
+    pre_attempts = {u: [r for r in pre if r["url_norm"] == u] for u in fetched}
+    pre_max_seq = eng.max_seq
+    assert eng.reseed(fetched)["reseeded"] == 2
+    assert eng.max_seq == pre_max_seq + 2
+    # unknown-host URLs are robots-dropped, not errors (after forgetting
+    # nothing, the reseed side sees no eligible rows)
+    assert eng.reseed(["http://unknown-host.example/x"])["reseeded"] == 0
+
+    # politeness still governs re-crawls: same-host reseeds may be
+    # token-capped across several cycles — drain until both re-fetches
+    # land (bounded)
+    for c in range(last_c + 1, last_c + 8):
+        eng.run_cycle(c)
+        order = eng.crawl_order().select(
+            "url_norm", "seq", "cycle_id", "ok"
+        ).collect()
+        if all(
+            any(r["ok"] and r["cycle_id"] > last_c for r in order
+                if r["url_norm"] == u)
+            for u in fetched
+        ):
+            break
+    for u in fetched:
+        rows = sorted(
+            [(r["cycle_id"], r["seq"]) for r in order if r["url_norm"] == u]
+        )
+        # crawl_order is one row per fetch ATTEMPT (retries share their
+        # seq — the re-fetch itself may fail and retry): the re-crawl
+        # adds >= 1 new attempt, all with one strictly newer seq
+        assert len(rows) > len(pre_attempts[u])
+        assert rows[-1][0] > last_c
+        assert rows[-1][1] > max(r["seq"] for r in pre_attempts[u])
+    # the re-fetch rewrote the document under a newer fetch_cycle
+    docs = eng.documents().filter(F.col("doc_id").isin(fetched))
+    assert docs.filter(F.col("fetch_cycle") > last_c).count() == 2
+    # resume parity: a fresh engine on the same warehouse restores max_seq
+    eng2 = CrawlEngine(spark, EngineConfig(graph=g, warehouse=str(wh),
+                                           seen_sidecar=flavor,
+                                           cuckoo_nbuckets=1 << 10))
+    eng2.bootstrap()
+    assert eng2.max_seq == eng.max_seq
