@@ -219,6 +219,150 @@ GROUP BY doc_id
 """
 
 
+# --- statistical LM quality scoring (CCNet-style) ------------------------
+
+def q48_lm_quality(spark, sf):
+    """Corpus-typicality score per document: an add-1-smoothed bigram
+    LM is trained on the corpus itself (CCNet-style quality filter —
+    docs full of rare bigrams score low), then each doc scores the
+    mean smoothed probability of its own bigrams.
+
+    Parity design: probabilities stay RATIONAL (count+1)/(N+B) — no
+    ln(), whose last ulp differs between Java's and DuckDB's libm —
+    and the per-doc mean is a sequential fold over a sorted list, so
+    both engines add the same doubles in the same order (bit-exact,
+    like every F.aggregate/list_reduce pair here). Spark shape at
+    100 TB: the model is a groupBy the optimizer partial-aggregates;
+    the score join broadcasts while the model fits and falls back to
+    a shuffle join beyond (no hint — AQE decides); the fold is per-row
+    column math."""
+    from ..operators.textstats import _word_grams
+    from ..portable import words
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", words("text").alias("_w")
+    ).select("doc_id", _word_grams(F.col("_w"), 2).alias("_g"))
+    ex = d.select("doc_id", F.explode("_g").alias("gram"))
+    model = ex.groupBy("gram").agg(F.count("*").alias("c_bi"))
+    denom = float(ex.count() + model.count())  # N_bi + B, exact < 2^53
+    return (
+        ex.join(model, "gram")
+        .withColumn("p", (F.col("c_bi") + 1) / F.lit(denom))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("gram", "p"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    F.col("ps"), F.lit(0.0), lambda a, x: a + x["p"]
+                ) / F.size("ps"),
+                6,
+            ).alias("lm_score"),
+        )
+    )
+
+
+SQL48 = """
+WITH g AS (
+  SELECT doc_id, gram
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [] END AS grams
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+  ), UNNEST(grams) AS t(gram)
+),
+model AS (SELECT gram, count(*) AS c_bi FROM g GROUP BY gram),
+denom AS (
+  SELECT CAST((SELECT count(*) FROM g) + (SELECT count(*) FROM model) AS DOUBLE) AS d
+),
+j AS (
+  SELECT doc_id, gram, (c_bi + 1) / (SELECT d FROM denom) AS p
+  FROM g JOIN model USING (gram)
+),
+l AS (SELECT doc_id, list(p ORDER BY gram, p) AS ps FROM j GROUP BY doc_id)
+SELECT doc_id,
+       round(list_reduce(list_prepend(0.0, ps), (a, b) -> a + b) / len(ps), 6)
+       AS lm_score
+FROM l
+"""
+
+
+# --- BM25 relevance ranking ----------------------------------------------
+
+BM25_TERMS = ["table", "spark", "vector"]
+BM25_K1, BM25_B = 1.5, 0.75
+
+
+def q49_bm25(spark, sf):
+    """BM25 ranking of documents against a fixed term set — the
+    retrieval scorer a corpus pipeline uses for query-based curation.
+    Same parity discipline as q48: idf stays the unlogged
+    (N - df + 0.5)/(df + 0.5) ratio (monotone in df; avoids libm ln),
+    corpus stats (N, df_t, avgdl) are exact-integer-derived doubles,
+    and the 3-term sum is a fixed-association column expression, so
+    Spark and DuckDB evaluate identical IEEE ops in identical order.
+    Per-doc work is pure column math; the corpus stats are one tiny
+    aggregate."""
+    from ..portable import words
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", words("text").alias("_w")
+    ).withColumn("dl", F.size("_w"))
+    stats = d.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum(F.array_contains("_w", t).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    ).collect()[0]
+    n, avgdl = int(stats["n"]), int(stats["sdl"]) / int(stats["n"])
+
+    def eq(term):
+        # one-arg lambda factory: a default-arg closure would present a
+        # 2-param signature and PySpark would bind it as (element, idx)
+        return lambda x: x == F.lit(term)
+
+    score = F.lit(0.0)
+    for i, t in enumerate(BM25_TERMS):
+        df_t = int(stats[f"df{i}"])
+        idf = (n - df_t + 0.5) / (df_t + 0.5)
+        tf = F.size(F.filter("_w", eq(t)))
+        score = score + F.lit(idf) * (
+            tf * (BM25_K1 + 1)
+        ) / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl)))
+    return d.select("doc_id", F.round(score, 6).alias("bm25"))
+
+
+def _sql49() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    per_term = " + ".join(
+        f"""((SELECT (n - df{i} + 0.5) / (df{i} + 0.5) FROM stats)
+     * (len(list_filter(w, x -> x = '{t}')) * ({BM25_K1} + 1))
+     / (len(list_filter(w, x -> x = '{t}'))
+        + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * len(w)
+                       / (SELECT avgdl FROM stats))))"""
+        for i, t in enumerate(BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(w, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+stats AS (
+  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl, {dfs}
+  FROM d
+)
+SELECT doc_id, round(0.0 + {per_term}, 6) AS bm25 FROM d
+"""  # noqa: F821 (terms interpolated above)
+
+
+SQL49 = _sql49()
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -227,11 +371,15 @@ QUERIES = {
     "q44_media_meta": q44_media_meta,
     "q46_repetition": q46_repetition,
     "q47_contamination": q47_contamination,
+    "q48_lm_quality": q48_lm_quality,
+    "q49_bm25": q49_bm25,
 }
 
 ORACLE = {
     "q46_repetition": SQL46,
     "q47_contamination": SQL47,
+    "q48_lm_quality": SQL48,
+    "q49_bm25": SQL49,
     "q40_token_stats": SQL40,
     "q41_quality": SQL41,
     "q42_lang_id": SQL42,

@@ -224,3 +224,32 @@ def test_lang_id_zero_shuffles(spark):
     phys = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in phys, phys
+
+
+def test_repetition_signals_shuffle_free(spark):
+    """q46 (P20): per-doc repetition stats must stay narrow — pure
+    column math, zero exchanges, zero Python stages."""
+    from crawlspark.queries.textq import q46_repetition
+
+    p = plan_of(q46_repetition(spark, SF))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """q47 (P21): the benchmark gram set must BROADCAST (evals are
+    tiny by definition); the corpus side is explode + partial-agg
+    distinct count — bounded shuffles, no sort-merge, no cartesian,
+    no Python."""
+    import re
+
+    from crawlspark.queries.textq import q47_contamination
+
+    p = plan_of(q47_contamination(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    shuffles = [l for l in p.splitlines() if re.match(r"^\(\d+\) Exchange", l)]
+    # bench-gram distinct + the two-phase per-doc distinct count
+    assert len(shuffles) <= 3, shuffles
