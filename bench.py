@@ -37,6 +37,7 @@ HEADLINE = [
     "q25_asof_orders",
     "q42_lang_id",
     "q43_fingerprint",
+    "q48_lm_quality",
     "q52_near_dup_pairs",
     "q54_simhash_pairs",
     "q60_cosine_topk",

@@ -363,6 +363,48 @@ SELECT doc_id, round(0.0 + {per_term}, 6) AS bm25 FROM d
 SQL49 = _sql49()
 
 
+# --- sequence packing (token-budget batch assembly) ----------------------
+
+PACK_BUDGET = 512
+
+
+def q58_seq_packing(spark, sf):
+    """Sequence packing for LLM training batches: documents (in
+    deterministic doc_id order) are assigned to fixed-token-budget
+    packs by a running-token prefix sum — pack_id = floor(prev_cumsum
+    / budget). This is contiguous-fill packing: a doc that crosses a
+    boundary stays in the pack where it started (packs overshoot by
+    < one doc), the distributed-friendly variant of greedy packing,
+    which is inherently sequential. At 100 TB the single global window
+    becomes two passes: per-range partial sums, then a broadcast of
+    the per-partition prefix offsets — same arithmetic, no
+    single-partition funnel; at testdata sizes the one window is the
+    honest plan."""
+    from pyspark.sql import Window
+
+    from ..portable import words
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.size(words("text")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id", "n_tokens",
+        F.floor(prev / PACK_BUDGET).cast("long").alias("pack_id"),
+    )
+
+
+SQL58 = f"""
+SELECT doc_id, n_tokens,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents)
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -373,9 +415,11 @@ QUERIES = {
     "q47_contamination": q47_contamination,
     "q48_lm_quality": q48_lm_quality,
     "q49_bm25": q49_bm25,
+    "q58_seq_packing": q58_seq_packing,
 }
 
 ORACLE = {
+    "q58_seq_packing": SQL58,
     "q46_repetition": SQL46,
     "q47_contamination": SQL47,
     "q48_lm_quality": SQL48,
