@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--n-salt", type=int, default=16)
     ap.add_argument("--n-seen-parts", type=int, default=16)
+    ap.add_argument("--sidecar", default="bloom", choices=["bloom", "cuckoo"],
+                    help="URL-seen sidecar: bloom (smallest) or cuckoo "
+                         "(supports forget()/reseed() in-place deletes)")
     args = ap.parse_args(argv)
 
     g = GraphConfig(
@@ -51,6 +54,7 @@ def main(argv: list[str] | None = None) -> None:
             warehouse=args.warehouse,
             n_salt=args.n_salt,
             n_seen_parts=args.n_seen_parts,
+            seen_sidecar=args.sidecar,
         ),
     )
     for st in eng.run():

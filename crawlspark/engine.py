@@ -22,7 +22,9 @@ Dataflow (shuffle boundaries marked):
     mapInPandas fetch → posexplode → links            [narrow]
     canonicalize/robots/score      → candidates       [narrow + broadcast join]
     window dedup (url_norm)        → deduped          [shuffle: url_norm]
-    bloom probe + exact anti       → novel            [shuffle: part / url_hash]
+    sidecar probe + exact anti     → novel            [shuffle: part / url_hash;
+                                                       bloom or cuckoo filter
+                                                       per EngineConfig]
     seq rank + appends + commit                       [writes]
 
 Growth discipline (the 10^10-URL design point): the cycle reads only

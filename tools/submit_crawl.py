@@ -43,7 +43,8 @@ def main() -> None:
     eng = CrawlEngine(
         spark,
         EngineConfig(graph=g, warehouse=args.warehouse,
-                     n_salt=args.n_salt, n_seen_parts=args.n_seen_parts),
+                     n_salt=args.n_salt, n_seen_parts=args.n_seen_parts,
+                     seen_sidecar=args.sidecar),
     )
     for st in eng.run():
         print(json.dumps(st))
