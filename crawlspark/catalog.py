@@ -124,6 +124,53 @@ class Catalog:
         )
 
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg `expire_snapshots` analogue — the disk-growth bound
+        a long crawl needs: drop every manifest older than the newest
+        `keep_last`, then garbage-collect each data directory that no
+        retained manifest references (which also sweeps orphan dirs
+        left by crashed commits — they were never referenced at all).
+
+        Safe by construction: retained manifests and `_CURRENT` are
+        never touched, and a crash mid-expiry only leaves some garbage
+        for the next run — never a broken snapshot. Readers pinned to
+        retained snapshots are unaffected; time travel shrinks to the
+        retained window."""
+        import shutil
+
+        keep_last = max(1, keep_last)
+        snaps = self.snapshots()
+        retained = snaps[-keep_last:] if len(snaps) > keep_last else snaps
+        retained_names = {f"s{s['id']:06d}.json" for s in retained}
+        live: set[str] = set()
+        for s in retained:
+            for dirs in (s.get("tables") or {}).values():
+                live.update(dirs)
+        removed_dirs = freed = 0
+        data = self.root / "data"
+        for tdir in sorted(data.iterdir()) if data.exists() else []:
+            if not tdir.is_dir():
+                continue
+            for d in sorted(tdir.iterdir()):
+                if f"data/{tdir.name}/{d.name}" not in live:
+                    freed += sum(
+                        f.stat().st_size for f in d.rglob("*") if f.is_file()
+                    )
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed_dirs += 1
+        removed_snaps = 0
+        for p in sorted((self.root / "snapshots").glob("s*.json")):
+            if p.name not in retained_names:
+                p.unlink()
+                removed_snaps += 1
+        return {
+            "removed_snapshots": removed_snaps,
+            "removed_dirs": removed_dirs,
+            "freed_bytes": freed,
+            "retained": len(retained),
+        }
+
+
 class Transaction:
     """Stages appends/overwrites; nothing is visible until commit()."""
 

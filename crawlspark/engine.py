@@ -93,6 +93,11 @@ class EngineConfig:
     # edits the sidecar instead of rebuilding touched parts).
     seen_sidecar: str = "bloom"
     cuckoo_nbuckets: int = cuckoo.NBUCKETS_DEFAULT
+    # after each fold_state, expire snapshots beyond the newest N and
+    # GC their data dirs (0 = keep all history / full time travel).
+    # Bounds warehouse growth on long crawls: without it every cycle's
+    # pre-fold file set stays referenced by old manifests forever.
+    expire_keep_last: int = 0
 
 
 class CrawlEngine:
@@ -623,6 +628,8 @@ class CrawlEngine:
         # needlessly rebuilt next cycle
         if self.cfg.bucketed_seen and self._mirror_marker().exists():
             self._mirror_marker().write_text(f"{self._mirror_table}:{folded['id']}")
+        if self.cfg.expire_keep_last:
+            self.cat.expire_snapshots(self.cfg.expire_keep_last)
         return folded
 
     def forget(self, urls) -> dict:
