@@ -780,6 +780,53 @@ class CrawlEngine:
         urls.unpersist()
         return {"reseeded": n}
 
+    def update_politeness(self, host_config_df: DataFrame) -> dict:
+        """Mid-crawl robots / crawl-delay / priority refresh — the
+        periodic robots re-fetch a long crawl must do — as one atomic
+        commit:
+
+        - `host_config` is replaced wholesale (hosts absent from the
+          new config are retired: their queued URLs are pruned);
+        - the queued frontier is re-checked against the NEW rules, so
+          now-disallowed URLs are dropped HERE, once — discovery-time
+          filtering remains the per-cycle contract and a rule change
+          costs one pass, not a robots re-check every cycle;
+        - frontier scores are recomputed from the new site_priority
+          (seq, and with it the FIFO tie-break, never changes);
+        - newly-added hosts get a host_state row at full capacity so
+          their first cycle refills correctly.
+        """
+        snap = self.cat.current_snapshot()
+        cyc = (snap or {}).get("cycle_id", 0)
+        frontier = self.cat.read("frontier", snap)
+        host_state = self.cat.read("host_state", snap)
+        f = frontier.drop("site_priority", "score").withColumn(
+            "path",
+            F.coalesce(F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("/")),
+        )
+        f = politeness.robots_filter(f, host_config_df)
+        frontier_new = schedule.with_score(f).select(*FRONTIER_COLS).persist()
+        n_queued = frontier_new.count()
+        hs_delta = (
+            host_config_df.join(
+                host_state.select("host").distinct(), "host", "left_anti"
+            ).select(
+                "host",
+                F.col("token_capacity").alias("tokens"),
+                F.lit(cyc).cast("long").alias("last_cycle"),
+            )
+        )
+        txn = self.cat.begin()
+        txn.overwrite("host_config", host_config_df)
+        txn.overwrite("frontier", frontier_new)
+        txn.append("host_state", hs_delta)
+        txn.commit(
+            cycle_id=cyc,
+            meta={**((snap or {}).get("meta") or {}), "politeness_updated": True},
+        )
+        frontier_new.unpersist()
+        return {"queued_after": n_queued}
+
     # -- verification views ----------------------------------------------------
 
     def crawl_order(self) -> DataFrame:

@@ -1,0 +1,86 @@
+"""Mid-crawl politeness refresh (CrawlEngine.update_politeness):
+new rules prune the queued frontier once, later cycles never fetch
+newly-disallowed URLs, priority changes re-score without touching
+seq, and retired hosts disappear."""
+
+from pyspark.sql import functions as F
+
+from crawlspark.engine import CrawlEngine, EngineConfig
+from crawlspark.synth import GraphConfig
+
+G = GraphConfig(n_sites=4, max_pages=20, batch_size=10, max_cycles=6)
+DENY_HOST = "site0000.example.com"
+
+
+def _deny_all():
+    return F.array(
+        F.struct(
+            F.lit(False).alias("allow"),
+            F.lit("/").alias("prefix"),
+            F.lit(None).cast("string").alias("pattern"),
+            F.lit(1).alias("spec"),
+        )
+    )
+
+
+def test_update_politeness_prunes_and_rescores(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh-polupd"))
+    eng = CrawlEngine(spark, EngineConfig(graph=G, warehouse=wh))
+    eng.bootstrap()
+    for c in (1, 2):
+        eng.run_cycle(c)
+
+    hc = eng.cat.read("host_config")
+    hc2 = hc.withColumn(
+        "robots_rules",
+        F.when(F.col("host") == DENY_HOST, _deny_all()).otherwise(
+            F.col("robots_rules")
+        ),
+    )
+    fr_before = eng.cat.read("frontier")
+    total_before = fr_before.count()
+    denied_before = fr_before.filter(F.col("host") == DENY_HOST).count()
+    res = eng.update_politeness(hc2)
+    after_f = eng.cat.read("frontier")
+    assert after_f.filter(F.col("host") == DENY_HOST).count() == 0
+    assert res["queued_after"] == total_before - denied_before
+    assert after_f.count() == total_before - denied_before
+
+    # seq untouched for surviving rows; score consistent with priority
+    row = after_f.select("depth", "site_priority", "score").first()
+    if row:
+        assert row["score"] == row["depth"] + row["site_priority"]
+
+    # later cycles never fetch the denied host again
+    for c in range(3, G.max_cycles + 1):
+        st = eng.run_cycle(c)
+        if st["stop"]:
+            break
+    post = (
+        eng.crawl_order()
+        .filter((F.col("cycle_id") >= 3) & (F.col("host") == DENY_HOST))
+        .count()
+    )
+    assert post == 0
+    # discovery-time filtering also applies the new rules to fresh links
+    seen_hosts = {
+        r["host"]
+        for r in eng.cat.read("frontier").select("host").distinct().collect()
+    }
+    assert DENY_HOST not in seen_hosts
+
+
+def test_update_politeness_retires_missing_hosts(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh-polret"))
+    eng = CrawlEngine(spark, EngineConfig(graph=G, warehouse=wh))
+    eng.bootstrap()
+    eng.run_cycle(1)
+    hc = eng.cat.read("host_config").filter(F.col("host") != DENY_HOST)
+    eng.update_politeness(hc)
+    assert (
+        eng.cat.read("frontier").filter(F.col("host") == DENY_HOST).count() == 0
+    )
+    assert (
+        eng.cat.read("host_config").filter(F.col("host") == DENY_HOST).count()
+        == 0
+    )
