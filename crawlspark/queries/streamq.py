@@ -212,16 +212,48 @@ def q93_crawl_stream_rates(spark, sf):
     return spark.table(name)
 
 
+def q94_stream_distinct(spark, sf):
+    """Streaming exact dedup via the state store (dropDuplicates on an
+    unbounded source — P1's semantics as a stream): the distinct
+    (user_id, event_type) pairs discovered over the events stream,
+    availableNow to completion. Emitting only the key columns makes
+    the result batch-equal by construction — whichever arrival wins a
+    key inside a micro-batch, the emitted key set is the same — so
+    the oracle is a plain SELECT DISTINCT."""
+    from . import pin_session
+
+    pin_session(spark)
+    name = f"q94_sink_{next(_COUNTER)}"
+    stream = S.file_stream(spark, _events_dir(sf), S.EVENTS_SCHEMA)
+    dd = stream.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+SQL94 = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 QUERIES = {
     "q90_stream_window_rates": q90_stream_window_rates,
     "q91_stream_sessions": q91_stream_sessions,
     "q92_stream_token_buckets": q92_stream_token_buckets,
     "q93_crawl_stream_rates": q93_crawl_stream_rates,
+    "q94_stream_distinct": q94_stream_distinct,
 }
 
 ORACLE = {
     "q90_stream_window_rates": SQL90,
     "q91_stream_sessions": SQL91,
+    "q94_stream_distinct": SQL94,
 }
 
 
