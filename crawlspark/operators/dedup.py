@@ -68,6 +68,58 @@ def exact_dedup(df: DataFrame, key, id_col: str) -> DataFrame:
     )
 
 
+def chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int = 12
+) -> DataFrame:
+    """Paragraph/chunk-level dedup (P25): drop repeated sub-document
+    text corpus-wide, keeping each chunk's first occurrence (min
+    (id, pos)), then reassemble the surviving text per document.
+
+    Real corpora carry boilerplate *inside* otherwise-unique pages
+    (nav bars, license blocks, quoted reposts); doc-level dedup (P1)
+    never fires on them. The classic fix dedups paragraphs; testdata
+    has no newline separators, so the segmentation here is the
+    deterministic mechanical one — consecutive ``chunk_words``-word
+    windows — and the dedup/reassembly machinery is exactly the
+    paragraph pipeline's.
+
+    Scale shape (10^9 docs): chunking is a narrow per-row transform;
+    the keep-first is a ``groupBy(chunk_key).agg(min(struct))`` —
+    partial-aggregated map-side, so a boilerplate chunk repeated 10^6
+    times costs one row per input partition in the shuffle, never a
+    10^6-row window partition (this is why it's NOT the R23 window
+    form); reassembly shuffles once on the doc id. Docs whose every
+    chunk was seen earlier disappear (fully-boilerplate pages).
+    """
+    w = df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
+    chunks = w.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w"), F.lit(chunk_words)),
+                lambda s: F.array_join(F.slice("_w", s, chunk_words), " "),
+            )
+        ).alias("pos", "chunk"),
+    )
+    kept = (
+        chunks.withColumn("k", md5hash60("chunk"))
+        .groupBy("k")
+        .agg(F.min(F.struct("id", "pos", "chunk")).alias("m"))
+        .select("m.id", "m.pos", "m.chunk")
+    )
+    return (
+        kept.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "chunk"))).alias("cs"))
+        .select(
+            "id",
+            F.size("cs").cast("long").alias("n_chunks_kept"),
+            F.array_join(
+                F.transform("cs", lambda x: x["chunk"]), " "
+            ).alias("text_dedup"),
+        )
+    )
+
+
 # -- MinHash + LSH ---------------------------------------------------------
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:

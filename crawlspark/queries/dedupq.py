@@ -221,8 +221,40 @@ LEFT JOIN keepers k ON k.component = c.component
 """
 
 
+# --- paragraph/chunk-level dedup (P25) ------------------------------------
+
+def q59_chunk_dedup(spark, sf):
+    """Sub-document dedup: 12-word chunks deduped corpus-wide (first
+    occurrence wins via a partial-aggregated min, not a window — hot
+    boilerplate keys combine map-side), surviving text reassembled per
+    doc. Docs reduced to nothing (pure boilerplate) drop out."""
+    return dedup.chunk_dedup(
+        T(spark, sf, "documents"), "doc_id", "text", chunk_words=12
+    )
+
+
+SQL59 = f"""
+WITH w AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS w
+           FROM documents),
+c AS (
+  SELECT id, CAST((s - 1) / 12 AS INTEGER) AS pos,
+         array_to_string(list_slice(w, s, s + 11), ' ') AS chunk
+  FROM w, UNNEST(range(1, len(w) + 1, 12)) AS u(s)),
+k AS (SELECT *, {_H("chunk")} AS k FROM c),
+kept AS (
+  SELECT id, pos, chunk
+  FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY id, pos) AS rn
+        FROM k)
+  WHERE rn = 1)
+SELECT id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
+       string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+FROM kept GROUP BY id
+"""
+
+
 QUERIES = {
     "q50_exact_dedup": q50_exact_dedup,
+    "q59_chunk_dedup": q59_chunk_dedup,
     "q51_minhash_sig": q51_minhash_sig,
     "q52_near_dup_pairs": q52_near_dup_pairs,
     "q53_simhash": q53_simhash,
@@ -233,6 +265,7 @@ QUERIES = {
 
 ORACLE = {
     "q50_exact_dedup": SQL50,
+    "q59_chunk_dedup": SQL59,
     "q51_minhash_sig": SQL51,
     "q52_near_dup_pairs": SQL52,
     "q53_simhash": SQL53,

@@ -1015,8 +1015,42 @@ def q34_approx_distinct(spark, sf):
     )
 
 
+# --- exact percentiles / median (R25) --------------------------------------
+
+def q65_percentiles(spark, sf):
+    """Exact interpolated percentiles of per-doc token counts by
+    source (R25): Spark `percentile` == DuckDB `quantile_cont`.
+    Parity: the probe points are exact binary fractions (.25/.5/.75),
+    and token counts are small integers, so the a + f*(b-a) vs
+    (1-f)*a + f*b associations both evaluate exactly — no rounding
+    needed. Scale: percentile is a sort-based aggregate within each
+    group; groups are bounded (sources), rows shuffle once."""
+    from ..portable import words
+
+    d = T(spark, sf, "documents").select(
+        "source", F.size(words("text")).alias("n")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("n", 0.25).alias("p25"),
+        F.median("n").alias("p50"),
+        F.percentile("n", 0.75).alias("p75"),
+    )
+
+
+SQL65 = """
+SELECT source, count(*) AS n_docs,
+       quantile_cont(n, 0.25) AS p25,
+       quantile_cont(n, 0.50) AS p50,
+       quantile_cont(n, 0.75) AS p75
+FROM (SELECT source, len(string_split(trim(text), ' ')) AS n FROM documents)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q65_percentiles": q65_percentiles,
     "q02_filter_project": q02_filter_project,
     "q03_revenue_by_nation": q03_revenue_by_nation,
     "q04_order_priority": q04_order_priority,
@@ -1063,6 +1097,7 @@ QUERIES = {
 
 ORACLE = {
     "q01_pricing_summary": SQL01,
+    "q65_percentiles": SQL65,
     "q02_filter_project": SQL02,
     "q03_revenue_by_nation": SQL03,
     "q04_order_priority": SQL04,

@@ -119,6 +119,32 @@ def test_lsh_recall_on_planted_dups(spark):
     assert found <= truth  # exact verify ⇒ no false positives
 
 
+# -- paragraph/chunk dedup (P25) -------------------------------------------
+
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    w = 12  # chunk width used by the operator default
+    a1 = " ".join(f"a{i}" for i in range(w))   # chunk unique to doc 1 pos 0
+    a2 = " ".join(f"b{i}" for i in range(w))   # chunk unique to doc 1 pos 1
+    c1 = " ".join(f"c{i}" for i in range(w))   # doc 2's own chunk
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a1} {a2}"),      # both chunks novel
+            (2, f"{a1} {c1}"),      # first chunk is doc 1's boilerplate
+            (3, f"{a2} {a1}"),      # pure boilerplate -> disappears
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in dedup.chunk_dedup(docs, "doc_id", "text", chunk_words=w).collect()
+    }
+    assert set(out) == {1, 2}          # doc 3 fully deduplicated away
+    assert out[1]["n_chunks_kept"] == 2 and out[1]["text_dedup"] == f"{a1} {a2}"
+    assert out[2]["n_chunks_kept"] == 1 and out[2]["text_dedup"] == c1
+    # corpus-wide invariant: kept chunks == distinct chunks
+    assert sum(r["n_chunks_kept"] for r in out.values()) == 3
+
+
 # -- resume exactness (C16) ------------------------------------------------
 
 def test_resume_bit_identical(spark):
