@@ -253,3 +253,21 @@ def test_contamination_broadcasts_benchmark(spark):
     shuffles = [l for l in p.splitlines() if re.match(r"^\(\d+\) Exchange", l)]
     # bench-gram distinct + the two-phase per-doc distinct count
     assert len(shuffles) <= 3, shuffles
+
+
+def test_chunk_dedup_partial_agg_no_window(spark):
+    """q59 (P25): the corpus-wide keep-first must be a partial-
+    aggregated min(struct) — a hot boilerplate chunk then combines
+    map-side instead of funneling into one window partition — and the
+    whole pipeline stays JVM-side with exactly the two shuffles the
+    semantics require (chunk_key agg, doc reassembly)."""
+    import re
+
+    from crawlspark.queries.dedupq import q59_chunk_dedup
+
+    p = plan_of(q59_chunk_dedup(spark, SF))
+    assert "Window" not in p
+    assert "EvalPython" not in p
+    assert "partial_min" in p or "Keys: [k" in p  # partial agg on the key
+    shuffles = [l for l in p.splitlines() if re.match(r"^\(\d+\) Exchange", l)]
+    assert len(shuffles) <= 2, shuffles
