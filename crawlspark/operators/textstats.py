@@ -174,3 +174,69 @@ def with_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             top_cover(F.col("_g2")).alias("top_bigram_cover"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    distributed: bool = False,
+) -> DataFrame:
+    """P24 sequence packing: contiguous-fill pack assignment,
+    pack_id = floor(prefix_tokens / budget) over ``id_col`` order
+    (a doc that crosses a boundary stays in the pack it started in).
+
+    Small corpora rank through one global window — honest at testdata
+    sizes. ``distributed=True`` is the 10^9-doc path: the same
+    two-phase scan the schedule/seq operators use — range-partition on
+    the order key, collect only the P per-partition token SUMS (the
+    driver sees P longs, never rows), then
+    prefix = partition offset + local running sum. pack_id is
+    identical either way because ``id_col`` is a total order, wherever
+    the range partitioner draws boundaries (equality-tested in
+    tests/test_properties.py)."""
+    from pyspark.sql import Window
+
+    pid, off = "_pid", "_off"
+    if not distributed:
+        w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+        prev = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+        return df.select(
+            id_col, tokens_col,
+            F.floor(prev / budget).cast("long").alias("pack_id"),
+        )
+
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    # lazy localCheckpoint: repartitionByRange SAMPLES its input, and
+    # the sums pass + final pass would otherwise recompute the chain
+    ranged = (
+        df.repartitionByRange(n_part, F.col(id_col))
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sums = {
+        r[pid]: int(r["s"] or 0)
+        for r in ranged.groupBy(pid).agg(F.sum(tokens_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        f"{pid} int, {off} long",
+    )
+    w = (
+        Window.partitionBy(pid).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.col(off) + F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (
+        ranged.join(F.broadcast(off_df), pid)
+        .select(
+            id_col, tokens_col,
+            F.floor(prev / budget).cast("long").alias("pack_id"),
+        )
+    )

@@ -376,23 +376,17 @@ def q58_seq_packing(spark, sf):
     boundary stays in the pack where it started (packs overshoot by
     < one doc), the distributed-friendly variant of greedy packing,
     which is inherently sequential. At 100 TB the single global window
-    becomes two passes: per-range partial sums, then a broadcast of
-    the per-partition prefix offsets — same arithmetic, no
-    single-partition funnel; at testdata sizes the one window is the
-    honest plan."""
-    from pyspark.sql import Window
-
+    becomes the operator's distributed=True two-phase scan (per-range
+    token sums + broadcast prefix offsets — same arithmetic, no
+    single-partition funnel; equality-tested); at testdata sizes the
+    one window is the honest plan."""
+    from ..operators.textstats import pack_sequences
     from ..portable import words
 
     d = T(spark, sf, "documents").select(
         "doc_id", F.size(words("text")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return d.select(
-        "doc_id", "n_tokens",
-        F.floor(prev / PACK_BUDGET).cast("long").alias("pack_id"),
-    )
+    return pack_sequences(d, "doc_id", "n_tokens", PACK_BUDGET)
 
 
 SQL58 = f"""

@@ -145,6 +145,24 @@ def test_chunk_dedup_keeps_first_occurrence(spark):
     assert sum(r["n_chunks_kept"] for r in out.values()) == 3
 
 
+# -- sequence packing: small == distributed (P24) ---------------------------
+
+def test_pack_sequences_distributed_equals_window(spark):
+    from crawlspark.operators.textstats import pack_sequences
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", F.size(F.split(F.trim("text"), " ")).alias("n_tokens"))
+    )
+    small = {(r["doc_id"], r["pack_id"])
+             for r in pack_sequences(d, "doc_id", "n_tokens", 512).collect()}
+    dist = {(r["doc_id"], r["pack_id"])
+            for r in pack_sequences(d, "doc_id", "n_tokens", 512,
+                                    distributed=True).collect()}
+    assert small == dist
+    assert len({p for _, p in small}) > 1  # actually packs into >1 pack
+
+
 # -- resume exactness (C16) ------------------------------------------------
 
 def test_resume_bit_identical(spark):
