@@ -235,16 +235,28 @@ def q48_lm_quality(spark, sf):
     100 TB: the model is a groupBy the optimizer partial-aggregates;
     the score join broadcasts while the model fits and falls back to
     a shuffle join beyond (no hint — AQE decides); the fold is per-row
-    column math."""
+    column math.
+
+    The exploded gram table and the model are each materialized ONCE
+    (lazy localCheckpoint, the dedup._materialize pattern): naively,
+    the N_bi and B counts plus the score join replay the explode chain
+    three times, and that tripled cost dominated the sf0.1 bench
+    (24.6 s → the materialized shape). denom needs N_bi = sum(c_bi)
+    and B = count(model), both read off the materialized model in one
+    tiny action."""
+    from ..operators.dedup import _materialize
     from ..operators.textstats import _word_grams
     from ..portable import words
 
     d = T(spark, sf, "documents").select(
         "doc_id", words("text").alias("_w")
     ).select("doc_id", _word_grams(F.col("_w"), 2).alias("_g"))
-    ex = d.select("doc_id", F.explode("_g").alias("gram"))
-    model = ex.groupBy("gram").agg(F.count("*").alias("c_bi"))
-    denom = float(ex.count() + model.count())  # N_bi + B, exact < 2^53
+    ex = _materialize(d.select("doc_id", F.explode("_g").alias("gram")))
+    model = _materialize(ex.groupBy("gram").agg(F.count("*").alias("c_bi")))
+    s = model.agg(
+        F.sum("c_bi").alias("n_bi"), F.count("*").alias("b")
+    ).collect()[0]
+    denom = float(int(s["n_bi"]) + int(s["b"]))  # N_bi + B, exact < 2^53
     return (
         ex.join(model, "gram")
         .withColumn("p", (F.col("c_bi") + 1) / F.lit(denom))
