@@ -278,6 +278,14 @@ class CrawlEngine:
         txn = self.cat.begin()
         txn.append("frontier", frontier0)
         txn.append("url_seen", seen0, partition_by=["part"])
+        if g.pattern_budget is not None:
+            # C23: seed admissions open each pattern's lifetime count
+            txn.append(
+                "pattern_counts",
+                f0.groupBy("host", "path").agg(
+                    F.count("*").cast("long").alias("n")
+                ),
+            )
         txn.overwrite(self._sidecar_table, bloom0)
         txn.overwrite("host_state", hs0)
         txn.overwrite("host_config", hc)
@@ -375,7 +383,24 @@ class CrawlEngine:
         # keep the persisted probe result under its own name: unpersist
         # needs the exact cached plan, so rebinding this to the
         # assign_seq output would leak one cache entry per cycle
-        novel_probed = self._seen_filter(cand, url_seen, bloom, snap).persist()
+        novel_probed = self._seen_filter(cand, url_seen, bloom, snap)
+        if g.pattern_budget is not None:
+            # C23 trap guard: cap lifetime admissions per (host, path)
+            # — applied BEFORE the counters so capped-out URLs count as
+            # deduped (cand − novel), exactly the refsim's accounting.
+            # Counts are append-only deltas summed on read (pattern
+            # cardinality ≪ seen cardinality; compacted with the rest
+            # of working state). forget()/reseed() do not decrement —
+            # the budget is a monotone lifetime allowance by design.
+            prior = (
+                self.cat.read("pattern_counts", snap)
+                .groupBy("host", "path")
+                .agg(F.sum("n").alias("n_admitted"))
+            )
+            novel_probed = schedule.pattern_cap(
+                novel_probed, prior, g.pattern_budget
+            )
+        novel_probed = novel_probed.persist()
 
         # per-partition (host_salt) lineage + counters: one tagged union
         # + one aggregation (single shuffle) instead of 5 groupBys + 4
@@ -546,6 +571,14 @@ class CrawlEngine:
                 ("overwrite", self._sidecar_table, bloom_new, None),
                 ("append", "edges", edges_delta, None),
             ]
+            if g.pattern_budget is not None:
+                writes.append((
+                    "append", "pattern_counts",
+                    novel_probed.groupBy("host", "path").agg(
+                        F.count("*").cast("long").alias("n")
+                    ),
+                    None,
+                ))
         if n_docs:
             writes.append((
                 "append", "documents",

@@ -178,6 +178,40 @@ def assign_seq(novel: DataFrame, base_seq: int, distributed: bool = False) -> Da
     )
 
 
+def pattern_cap(novel: DataFrame, prior: DataFrame, budget: int) -> DataFrame:
+    """C23 crawler-trap guard: admit per (host, path) URL pattern only
+    while lifetime admissions stay under ``budget``, first-discovered
+    first (the refsim's sequential-admit order). Calendar pages,
+    session-id echoes, and faceted-search grids all mint unbounded
+    distinct URLs under ONE path — without a pattern budget the
+    frontier fills with one host's furniture.
+
+    ``prior`` is (host, path, n_admitted) lifetime counts; candidates
+    rank within their pattern by the arrival order key and survive
+    while prior + rank ≤ budget.
+
+    Scale shape: same two-phase window as :func:`per_host_cap` — phase
+    1 caps within (host, path, host_salt), parallel across salts, so a
+    pattern with 10^6 candidates in one cycle never serializes a
+    single window partition; phase 2 exact-ranks the ≤ S·budget
+    survivors. The prior join is a shuffle join on the pattern key
+    (the pattern table outgrows a broadcast at web scale); hot
+    patterns have exactly one build row, so skew sits on the probe
+    side where AQE splits it."""
+    df = novel.join(prior, ["host", "path"], "left").withColumn(
+        "_prior", F.coalesce(F.col("n_admitted"), F.lit(0))
+    )
+    w1 = Window.partitionBy("host", "path", "host_salt").orderBy(*_SEQ_ORDER)
+    w2 = Window.partitionBy("host", "path").orderBy(*_SEQ_ORDER)
+    return (
+        df.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") + F.col("_prior") <= budget)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") + F.col("_prior") <= budget)
+        .drop("rn1", "rn2", "_prior", "n_admitted")
+    )
+
+
 def dedup_within_batch(cands: DataFrame) -> DataFrame:
     """R23/C15: first discovery wins, deterministically — window
     row_number, never dropDuplicates (nondeterministic tie-break)."""

@@ -240,3 +240,67 @@ def pack_sequences(
             F.floor(prev / budget).cast("long").alias("pack_id"),
         )
     )
+
+
+def boilerplate_detect(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    chunk_words: int = 12,
+    min_df: int = 2,
+) -> DataFrame:
+    """Host-scoped boilerplate detection (P26): flag text chunks that
+    recur across ≥ ``min_df`` distinct documents of the same group
+    (host/source) and score each document by its boilerplate ratio.
+
+    This is the scope that chunk-level dedup (P25) deliberately lacks:
+    nav bars, cookie banners, and footer legalese repeat across the
+    pages of ONE site — a corpus-wide keep-first would keep each
+    chunk's first page intact and only strip the rest, while a quality
+    pipeline wants to know, per page, how much of it is site furniture
+    (CCNet/trafilatura treat high-DF-within-host paragraphs exactly
+    this way). Segmentation is the same deterministic
+    ``chunk_words``-word windowing as :func:`~..operators.dedup.chunk_dedup`.
+
+    Scale shape (10^9 docs): the DF table is two partial-aggregated
+    groupBys — (group, chunk, doc) then (group, chunk) — so a banner
+    repeated on 10^6 pages contributes one combined row per map
+    partition at each stage, never a 10^6-row window. The scoring
+    join back to chunk occurrences has exactly ONE build row per
+    (group, chunk) key, so hot boilerplate keys skew only the probe
+    side, which AQE skew-join splits; no broadcast is assumed (the
+    per-host dictionary at web scale outgrows a driver).
+    """
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        words(text_col).alias("_w"),
+    )
+    chunks = w.select(
+        "id", "grp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w"), F.lit(chunk_words)),
+                lambda s: F.array_join(F.slice("_w", s, chunk_words), " "),
+            )
+        ).alias("chunk"),
+    ).withColumn("k", md5hash60("chunk")).drop("chunk")
+    docfreq = (
+        chunks.groupBy("grp", "k", "id").agg(F.lit(1))
+        .groupBy("grp", "k")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        chunks.join(docfreq, ["grp", "k"])
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("df") >= min_df).cast("int"))
+            .cast("long").alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.round(F.col("n_boiler") / F.col("n_chunks"), 6),
+        )
+    )

@@ -32,10 +32,11 @@ _WINDOW = [
     # snapshot time travel (both refsim-oracle-checked)
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
-    "q88_forget_recrawl", "q89_time_travel",
-    # streaming S1–S6
+    "q88_forget_recrawl", "q89_time_travel", "q67_trap_guard",
+    # streaming S1–S6, plus the crawl-stream wrapper (S1 applied to
+    # the engine's own frontier/metrics deltas)
     "q90_stream_window_rates", "q91_stream_sessions",
-    "q92_stream_token_buckets",
+    "q92_stream_token_buckets", "q93_crawl_stream_rates",
     # similarity P7–P8: one slot per distinct method — exact baseline,
     # band-OR LSH (the production recall config), IVF coarse-quantizer.
     # The single-table LSH (q61) and multi-probe (q62) variants stay
@@ -45,24 +46,26 @@ _WINDOW = [
     "q56_dedup_clusters", "q50_exact_dedup", "q51_minhash_sig",
     "q52_near_dup_pairs", "q53_simhash", "q54_simhash_pairs",
     "q55_chargram_pairs", "q57_embed_near_dups",
-    # text pipeline P9–P13
+    # text pipeline P9–P13 + LM-quality scoring (P22), paragraph/chunk
+    # dedup (P25), exact percentiles (R25)
     "q40_token_stats", "q41_quality", "q42_lang_id", "q43_fingerprint",
-    "q44_media_meta",
+    "q44_media_meta", "q48_lm_quality", "q59_chunk_dedup",
+    "q65_percentiles",
     # relational surface, one per operator (R1–R23 + §2.3 families)
-    "q01_pricing_summary", "q02_filter_project", "q03_revenue_by_nation",
-    "q04_order_priority", "q05_customers_without_orders",
-    # (q09 exact/count-distinct moved to the tail: R13's count-distinct
-    # runs in-window via q29's countDistinct and q15_setops' distincts)
-    # (q06 moved to the tail: R5 filter predicates stay in-window via
-    # q02; q19 moved to the tail: it evidences no §2 row that q50/q13
-    # don't already cover — both still run under check_oracle)
+    "q01_pricing_summary", "q03_revenue_by_nation",
+    # (tail moves, each §2 row still evidenced in-window — rationale
+    # per-query in README "Query registry ordering": q02→q28/q29
+    # project/cast, q04→q01 hash agg, q05→q26 anti join, q17→q30
+    # array HOFs, q06/q09/q19 from r2)
     "q07_ship_latency",
     "q08_region_status_grid", "q10_group_families",
     "q12_top_orders_per_cust", "q13_running_total", "q14_topk_orders",
-    "q15_setops", "q17_vector_stats", "q18_doc_pivot",
+    "q15_setops", "q18_doc_pivot",
     "q20_json_props", "q25_asof_orders", "q26_bucketed_antijoin",
     "q28_string_funcs", "q29_date_funcs", "q30_array_funcs",
-    "q31_map_funcs", "q32_conditionals", "q35_semi_scan",
+    "q31_map_funcs", "q35_semi_scan",
+    # (q32 conditionals → tail: CASE/if expressions run in-window
+    # inside q42's language-ID argmax chain)
 ]
 
 

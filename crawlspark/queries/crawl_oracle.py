@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 5
+_VERSION = 6
 
 
 def _md5_60(s: str) -> int:
@@ -134,6 +134,19 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
         if kind != "image"
         for idx in range(0, n_frames, 4)
     ]
+    # q67: lifetime admissions per (host, path) URL pattern — equals a
+    # rollup of the seen set, independently re-derived with urlsplit
+    # (the engine parses with JVM parse_url; the refsim admitted these
+    # through its own sequential budget counter)
+    from urllib.parse import urlsplit
+
+    by_pat: dict[tuple, list] = {}
+    for u, first in res.seen.items():
+        sp = urlsplit(u)
+        by_pat.setdefault((sp.hostname, sp.path or "/"), []).append(first)
+    q67 = [
+        (h, p, len(v), min(v)) for (h, p), v in sorted(by_pat.items())
+    ]
     by_ch: dict[tuple, list] = {}
     for (c, pos, _u, host, _sc, _sq, _d, _att, ok) in res.order:
         by_ch.setdefault((c, host), []).append((pos, ok))
@@ -189,6 +202,11 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
             " max_batch_pos int64",
             q93,
         ),
+        "q67_trap_guard": (
+            ["host", "path", "n_urls", "first_seen"],
+            "host string, path string, n_urls int64, first_seen int64",
+            q67,
+        ),
     }
 
 
@@ -200,7 +218,7 @@ _TYPE = {
 _NAMES = [
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
-    "q86_frame_sample", "q93_crawl_stream_rates",
+    "q86_frame_sample", "q93_crawl_stream_rates", "q67_trap_guard",
 ]
 
 

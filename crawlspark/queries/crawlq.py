@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..engine import CrawlEngine, EngineConfig
 from ..portable import md5hash60
-from ..synth import UNIT
+from ..synth import UNIT, UNIT_TRAP
 
 _ENGINE_CACHE: dict[str, CrawlEngine] = {}
 
@@ -131,6 +131,45 @@ def q87_cuckoo_seen(spark, sf):
     return _engine(spark, "cuckoo").seen_set().select("url_norm", "first_cycle")
 
 
+def _engine_trap(spark) -> CrawlEngine:
+    """UNIT_TRAP crawl: calendar traps on two hosts (unbounded /cal?d=N
+    chains), C23 pattern budget = 3 admissions per (host, path)."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-trap"
+    if key not in _ENGINE_CACHE:
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_TRAP, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q67_trap_guard(spark, sf):
+    """C23 crawler-trap guard through the driver's harness: per-(host,
+    path) rollup of the trap crawl's final seen set. The /cal patterns
+    must pin at exactly pattern_budget (3) — unguarded they'd take 8+
+    admissions by cycle 6 and grow without bound — while every regular
+    pattern keeps its one URL. Oracle: the refsim runs the same budget
+    counter sequentially and predicts every row (crawl_oracle.py)."""
+    s = _engine_trap(spark).seen_set()
+    return (
+        s.withColumn("host", F.parse_url(F.col("url_norm"), F.lit("HOST")))
+        .withColumn(
+            "path",
+            F.coalesce(
+                F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("/")
+            ),
+        )
+        .groupBy("host", "path")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("first_cycle").alias("first_seen"),
+        )
+    )
+
+
 def _engine_forgotten(spark) -> CrawlEngine:
     """UNIT crawl (cuckoo sidecar) with the 5 lexicographically-first
     seen URLs forgotten after completion — memoized post-forget."""
@@ -183,6 +222,7 @@ QUERIES = {
     "q84_media_features": q84_media_features,
     "q85_pagerank": q85_pagerank,
     "q86_frame_sample": q86_frame_sample,
+    "q67_trap_guard": q67_trap_guard,
     "q87_cuckoo_seen": q87_cuckoo_seen,
     "q88_forget_recrawl": q88_forget_recrawl,
     "q89_time_travel": q89_time_travel,
@@ -193,7 +233,11 @@ ORACLE: dict[str, str] = {}
 
 def build_oracle() -> dict[str, str]:
     """Refsim-generated DuckDB oracles (see crawl_oracle.py); called
-    lazily by ``all_oracles`` so importing the registry stays free."""
+    lazily by ``all_oracles`` so importing the registry stays free.
+    q67's expectation comes from a second refsim run over the
+    trap-enabled graph config."""
     from .crawl_oracle import build_crawl_oracles
 
-    return build_crawl_oracles(UNIT)
+    sql = build_crawl_oracles(UNIT)
+    sql["q67_trap_guard"] = build_crawl_oracles(UNIT_TRAP)["q67_trap_guard"]
+    return sql

@@ -411,6 +411,37 @@ FROM (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
 """
 
 
+def q66_boilerplate(spark, sf):
+    """Host-scoped boilerplate scoring (P26): chunks recurring in ≥2
+    distinct docs of the same source are site furniture; each doc gets
+    its furniture ratio. DF table = two partial-agg groupBys; the
+    scoring join has one build row per (source, chunk) key."""
+    return textstats.boilerplate_detect(
+        T(spark, sf, "documents"), "doc_id", "text", "source",
+        chunk_words=12, min_df=2,
+    )
+
+
+SQL66 = f"""
+WITH w AS (SELECT doc_id AS id, source AS grp,
+                  string_split(trim(text), ' ') AS w
+           FROM documents),
+c AS (
+  SELECT id, grp,
+         {_H("array_to_string(list_slice(w, s, s + 11), ' ')")} AS k
+  FROM w, UNNEST(range(1, len(w) + 1, 12)) AS u(s)),
+df AS (SELECT grp, k, count(DISTINCT id) AS df FROM c GROUP BY 1, 2)
+SELECT c.id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+             / count(*), 6) AS boiler_ratio
+FROM c JOIN df ON c.grp = df.grp AND c.k = df.k
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -422,6 +453,7 @@ QUERIES = {
     "q48_lm_quality": q48_lm_quality,
     "q49_bm25": q49_bm25,
     "q58_seq_packing": q58_seq_packing,
+    "q66_boilerplate": q66_boilerplate,
 }
 
 ORACLE = {
@@ -435,4 +467,5 @@ ORACLE = {
     "q42_lang_id": SQL42,
     "q43_fingerprint": SQL43,
     "q44_media_meta": SQL44,
+    "q66_boilerplate": SQL66,
 }

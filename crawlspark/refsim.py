@@ -72,6 +72,8 @@ class RefSim:
         queued: dict[str, tuple] = {}      # url_norm -> (score, seq, depth, host)
         attempts: dict[str, int] = {}      # url_norm -> failed attempts so far
         max_retries = cfg.max_retries
+        budget = cfg.pattern_budget        # C23 trap guard (None = off)
+        pat_admits: dict[tuple, int] = {}  # (host, path) -> admissions
         seq = 0
         # per-cycle counter scratch: distinct robots-allowed candidates
         # discovered this cycle (the engine's post-dedup `cand` set) and
@@ -94,6 +96,15 @@ class RefSim:
                 cyc_cands.add(u)
             if u in seen:
                 return
+            if budget is not None:
+                # C23: lifetime admission cap per (host, path) URL
+                # pattern — a rejected URL stays unseen (it counts as
+                # deduped this cycle and may re-candidate later, but
+                # never enters the frontier while the pattern is full)
+                pat = (host, path)
+                if pat_admits.get(pat, 0) >= budget:
+                    return
+                pat_admits[pat] = pat_admits.get(pat, 0) + 1
             seen[u] = cycle
             if base is not None:
                 cyc_novel += 1

@@ -191,6 +191,17 @@ FETCH_LOG = T.StructType(
 
 # Per-cycle, per-partition lineage + counters. part = host_salt for
 # distribution metrics; part = -1 carries cycle-level wall-clock.
+# C23 trap guard: lifetime frontier admissions per URL pattern.
+# Append-only deltas, summed on read (merge-on-read; compacted with
+# the other working state at snapshot expiry).
+PATTERN_COUNTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
 METRICS = T.StructType(
     [
         T.StructField("cycle_id", T.LongType(), False),
@@ -216,5 +227,6 @@ TABLE_SCHEMAS = {
     "host_config": HOST_CONFIG,
     "host_state": HOST_STATE,
     "fetch_log": FETCH_LOG,
+    "pattern_counts": PATTERN_COUNTS,
     "metrics": METRICS,
 }

@@ -51,6 +51,14 @@ class GraphConfig:
     seeds_per_site: int = 1
     # fetch attempts per URL before giving up (TTR analogue)
     max_retries: int = 3
+    # crawler-trap knobs (C23): sites i < trap_hosts carry a calendar
+    # trap — every regular page links to /cal?d=1 and /cal?d=k links to
+    # /cal?d=k+1 forever. pattern_budget caps lifetime frontier
+    # admissions per (host, path) URL pattern (None = guard off; the
+    # default graph has one URL per path, so any budget ≥ 1 leaves
+    # non-trap crawls bit-identical).
+    trap_hosts: int = 0
+    pattern_budget: int | None = None
 
     # -- topology ----------------------------------------------------------
 
@@ -134,12 +142,22 @@ class GraphConfig:
     def page_url(self, i: int, j: int) -> str:
         return f"http://{self.host(i)}{self.page_path(i, j)}"
 
+    def cal_url(self, i: int, d: int) -> str:
+        """Calendar-trap URL: one path, unbounded query values — the
+        classic infinite-URL-space shape (next/prev month links)."""
+        return f"http://{self.host(i)}/cal?d={d}"
+
     def url_to_page(self, url_norm: str) -> tuple[int, int]:
-        """Inverse of page_url over canonical URLs (the fetcher's router)."""
+        """Inverse of page_url over canonical URLs (the fetcher's
+        router). Calendar-trap URLs route as (site, -day): the negative
+        page index selects the trap payload in page_spans/fetch_ok."""
         m = re.match(r"http://site(\d{4})\.example\.com(?:/private)?/p(\d+)$", url_norm)
-        if not m:
-            raise ValueError(f"not a synthetic page url: {url_norm}")
-        return int(m.group(1)), int(m.group(2))
+        if m:
+            return int(m.group(1)), int(m.group(2))
+        m = re.match(r"http://site(\d{4})\.example\.com/cal\?d=(\d+)$", url_norm)
+        if m and self.trap_hosts:
+            return int(m.group(1)), -int(m.group(2))
+        raise ValueError(f"not a synthetic page url: {url_norm}")
 
     def outlink_targets(self, i: int, j: int) -> list[str]:
         """Canonical URLs this page links to (deterministic)."""
@@ -185,7 +203,22 @@ class GraphConfig:
     # -- spans (the interleaved text+media payload) -------------------------
 
     def page_spans(self, i: int, j: int) -> list[dict]:
+        if j < 0:
+            # trap payload: a single text span linking next-day and
+            # next-week — each fetch mints two more candidates forever
+            d = -j
+            body = (
+                f"site {i} calendar day {d} :: "
+                f'href="{self.cal_url(i, d + 1)}" '
+                f'href="{self.cal_url(i, d + 7)}" :: '
+                + " ".join(
+                    f"c{h64(self.seed, 'cal', i, d, w) % 997}" for w in range(4)
+                )
+            )
+            return [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
         links = self.outlinks_messy(i, j)
+        if i < self.trap_hosts:
+            links = links + [self.cal_url(i, 1)]
         hrefs = " ".join(f'href="{u}"' for u in links)
         body = f"site {i} page {j} :: {hrefs} :: " + " ".join(
             f"w{h64(self.seed, 'word', i, j, w) % 997}" for w in range(6)
@@ -248,6 +281,11 @@ def robots_allowed(path: str, rules: list[dict]) -> bool:
 
 # canonical preset tiers (FIXTURES.md §2.4)
 UNIT = GraphConfig(n_sites=5, max_pages=40, batch_size=16, max_cycles=6)
+# UNIT graph + calendar traps on the first two hosts, pattern budget 3:
+# unguarded, the /cal chains mint two novel URLs per fetch forever (8
+# admitted by cycle 6 and growing); guarded, both hosts pin at exactly 3
+UNIT_TRAP = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                        max_cycles=6, trap_hosts=2, pattern_budget=3)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,
