@@ -361,10 +361,34 @@ class CrawlEngine:
             docs.unpersist()
             return {"cycle": c, "scheduled": 0, "deduped": 0, "discovered": 0,
                     "wall_ms": int((time.time() - t0) * 1000), "stop": True}
-        docs_ok = docs.filter(F.col("ok"))
+        docs_ok = docs.filter(F.col("ok") & F.col("redirect_to").isNull())
         # attempt outcomes back onto the batch metadata (1:1 on url_norm)
-        sched_rows = batch.join(docs.select("url_norm", "ok"), "url_norm").persist()
+        sched_rows = batch.join(
+            docs.select(
+                "url_norm", "ok",
+                F.col("redirect_to").isNotNull().alias("redirected"),
+            ),
+            "url_norm",
+        ).persist()
         links = fetch_ops.extract_links(docs_ok)
+        if g.redirect_every:
+            # C24: a successful 301 is a terminal fetch of the alias;
+            # its Location re-enters the discovery path at the SAME
+            # depth (redirects don't deepen) — depth-1 here so the
+            # shared +1 below restores it — ordered at (batch_pos, -1,
+            # -1): a serial worker sees the Location before any link of
+            # that batch slot, and the refsim admits in that order.
+            redir_hops = docs.filter(
+                F.col("ok") & F.col("redirect_to").isNotNull()
+            ).select(
+                "doc_id",
+                (F.col("depth") - 1).cast("int").alias("depth"),
+                "batch_pos",
+                F.lit(-1).alias("span_pos"),
+                F.lit(-1).alias("link_pos"),
+                F.col("redirect_to").alias("raw_url"),
+            )
+            links = links.unionByName(redir_hops)
         # resolve relative hrefs against the fetching doc (urljoin
         # semantics), then canonicalize — one Arrow pass (C13 → C1)
         cand = (
@@ -410,7 +434,8 @@ class CrawlEngine:
         # that gates the distributed seq rank, so no separate count job
         # runs; the extra sched_rows slices decide which working-state
         # writes can be skipped as provably-unchanged this cycle.
-        _T = ("t_sched", "t_cand", "t_novel", "t_docs", "t_failr", "t_exh", "t_inflight")
+        _T = ("t_sched", "t_cand", "t_novel", "t_docs", "t_failr", "t_exh",
+              "t_inflight", "t_redir")
 
         def tag(df, col):
             return df.select(
@@ -428,10 +453,12 @@ class CrawlEngine:
             F.lit(1).alias("t_sched"),
             F.lit(0).alias("t_cand"),
             F.lit(0).alias("t_novel"),
-            F.col("ok").cast("int").alias("t_docs"),
+            # a 301 is a successful fetch but NOT a document
+            (F.col("ok") & ~F.col("redirected")).cast("int").alias("t_docs"),
             (~F.col("ok") & (F.col("attempt") < g.max_retries)).cast("int").alias("t_failr"),
             (~F.col("ok") & (F.col("attempt") >= g.max_retries)).cast("int").alias("t_exh"),
             (F.col("attempt") > 1).cast("int").alias("t_inflight"),
+            (F.col("ok") & F.col("redirected")).cast("int").alias("t_redir"),
         )
         tagged = (
             sched_tags
@@ -456,6 +483,7 @@ class CrawlEngine:
         n_fail_retryable = sum(r["s_failr"] for r in stat_rows)
         n_exhausted = sum(r["s_exh"] for r in stat_rows)
         n_inflight = sum(r["s_inflight"] for r in stat_rows)
+        n_redir = sum(r["s_redir"] for r in stat_rows)
 
         novel = schedule.assign_seq(
             novel_probed, self.max_seq,
@@ -582,10 +610,26 @@ class CrawlEngine:
         if n_docs:
             writes.append((
                 "append", "documents",
-                docs.filter(F.col("ok")).select("doc_id", "fetch_cycle", "host", "spans"),
+                docs.filter(F.col("ok") & F.col("redirect_to").isNull())
+                .select("doc_id", "fetch_cycle", "host", "spans"),
                 None,
             ))
-        if n_docs or n_exhausted:
+        if n_redir:
+            # C24: record every successful hop (alias → canonical
+            # Location) even when the target was already seen — the
+            # URL-aliasing identity map a re-crawl or link-graph
+            # consumer needs; docs is cached, so this is one narrow
+            # Arrow pass over ≤ batch rows
+            writes.append((
+                "append", "redirects",
+                docs.filter(F.col("ok") & F.col("redirect_to").isNotNull()).select(
+                    F.col("url_norm").alias("src"),
+                    resolve_canonicalize_udf("url_norm", "redirect_to").alias("dst"),
+                    F.lit(c).cast("long").alias("cycle_id"),
+                ).filter(F.col("dst").isNotNull()),
+                None,
+            ))
+        if n_docs or n_exhausted or n_redir:
             writes.append(("append", "resolved", resolved_delta, None))
         if n_fail_retryable or n_inflight:
             writes.append(("overwrite", "retry_state", retry_new, None))
@@ -604,7 +648,8 @@ class CrawlEngine:
         seen.release_broadcasts(self.spark)
         return {
             "cycle": c, "scheduled": n_sched, "discovered": n_novel,
-            "deduped": n_cand - n_novel, "wall_ms": int((time.time() - t0) * 1000),
+            "deduped": n_cand - n_novel, "redirects": n_redir,
+            "wall_ms": int((time.time() - t0) * 1000),
             # phase attribution (observability; wall_ms stays the metric):
             # fetch = read→schedule→fetch action, stats = tagged-union
             # collect, commit = staging writes + manifest + mirror
@@ -873,6 +918,11 @@ class CrawlEngine:
     def documents(self) -> DataFrame:
         return self.cat.read("documents")
 
+    def redirect_map(self) -> DataFrame:
+        """C24: every successful 301 hop (alias url_norm → canonical
+        Location), append-only across cycles."""
+        return self.cat.read("redirects")
+
     def fetch_log(self) -> DataFrame:
         """Derived view (the Iceberg-view analogue): one row per fetch
         attempt with status/timestamp/bytes, computed on read from
@@ -886,11 +936,23 @@ class CrawlEngine:
             F.col("fetch_cycle").alias("cycle_id"),
             fetch_ops.doc_bytes_col().alias("bytes"),
         )
-        return sched.join(doc_bytes, ["url_norm", "cycle_id"], "left").select(
-            "cycle_id",
-            "url_hash",
-            "host",
-            F.when(F.col("ok"), 200).otherwise(503).cast("int").alias("status"),
-            F.timestamp_seconds(F.lit(1704067200) + F.col("cycle_id")).alias("fetched_at"),
-            F.coalesce("bytes", F.lit(0)).cast("long").alias("bytes"),
+        redirs = self.cat.read("redirects").select(
+            F.col("src").alias("url_norm"), "cycle_id",
+            F.lit(True).alias("is_redir"),
+        )
+        return (
+            sched.join(doc_bytes, ["url_norm", "cycle_id"], "left")
+            .join(redirs, ["url_norm", "cycle_id"], "left")
+            .select(
+                "cycle_id",
+                "url_hash",
+                "host",
+                F.when(F.col("is_redir").isNotNull(), 301)
+                .when(F.col("ok"), 200)
+                .otherwise(503)
+                .cast("int")
+                .alias("status"),
+                F.timestamp_seconds(F.lit(1704067200) + F.col("cycle_id")).alias("fetched_at"),
+                F.coalesce("bytes", F.lit(0)).cast("long").alias("bytes"),
+            )
         )

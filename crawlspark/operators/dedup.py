@@ -152,13 +152,14 @@ def minhash_signatures(sh: DataFrame, n_hashes: int) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
-    """(i, j) candidate pairs sharing ≥1 LSH band (i < j).
-
-    band_hash = md5-60 of the band's concatenated minhashes; the
-    self-join shuffles on (band, band_hash) only."""
+def band_keys(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_hash): the LSH banding of a signature table —
+    band_hash = md5-60 of the band's concatenated minhashes. This is
+    the unit a persistent corpus index stores (P28): append an
+    increment's band keys after each dedup pass and the next increment
+    joins against them without touching corpus text again."""
     rows = n_hashes // bands
-    bandkey = _materialize(
+    return _materialize(
         sig.withColumn("band", (F.col("j") / rows).cast("int"))
         .groupBy("id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("j", "minh"))).alias("ms"))
@@ -167,7 +168,16 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
             md5hash60(F.concat_ws("#", F.transform("ms", lambda s: s["minh"].cast("string")))),
         )
         .select("id", "band", "band_hash")
-    )  # both sides of the self-join read this once (n_docs × bands rows)
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(i, j) candidate pairs sharing ≥1 LSH band (i < j).
+
+    band_hash = md5-60 of the band's concatenated minhashes; the
+    self-join shuffles on (band, band_hash) only."""
+    # both sides of the self-join read this once (n_docs × bands rows)
+    bandkey = band_keys(sig, n_hashes, bands)
     other = bandkey.select(
         F.col("id").alias("id2"), F.col("band").alias("band2"), F.col("band_hash").alias("bh2")
     )
@@ -251,6 +261,54 @@ def near_dups_with_exact_prepass(
     rep_pairs = minhash_near_dups(reps, "id", "text", k, n_hashes, bands, threshold)
     out = exact_pairs.unionByName(rep_pairs)
     return out
+
+
+def incremental_near_dups(
+    delta: DataFrame, corpus: DataFrame, id_col: str, text_col: str,
+    k: int = 2, n_hashes: int = 8, bands: int = 4, threshold: float = 0.5,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """P28: dedup an increment against an existing corpus — (i = delta
+    id, j = corpus id, jac) near-dup pairs — without ever joining
+    corpus × corpus.
+
+    The daily-increment posture at 100 TB: the corpus's band keys live
+    in a persistent index (``band_keys`` output, appended after every
+    pass); each increment shingles/minhashes ONLY its own rows (cost ∝
+    delta bytes), probes the index on (band, band_hash), and exact-
+    verifies candidates with corpus shingles recomputed for CANDIDATE
+    docs only (semi-join first, so corpus text cost ∝ candidates, not
+    corpus). Pass ``corpus_index=None`` to build the index inline
+    (bootstrap / oracle replay); at scale pass the stored index.
+
+    Delta and corpus ids must be disjoint namespaces (prefix the
+    increment's ids); pairs are directed delta → corpus, so no i < j
+    tie-break is involved."""
+    dsh = _materialize(shingle_table(delta, id_col, text_col, k))
+    dkeys = band_keys(minhash_signatures(dsh, n_hashes), n_hashes, bands)
+    if corpus_index is None:
+        corpus_index = band_keys(
+            minhash_signatures(
+                shingle_table(corpus, id_col, text_col, k), n_hashes
+            ),
+            n_hashes, bands,
+        )
+    idx = corpus_index.select(
+        F.col("id").alias("cid"), F.col("band").alias("band2"),
+        F.col("band_hash").alias("bh2"),
+    )
+    cand = (
+        dkeys.join(
+            idx,
+            (F.col("band") == F.col("band2")) & (F.col("band_hash") == F.col("bh2")),
+        )
+        .select(F.col("id").alias("i"), F.col("cid").alias("j"))
+        .distinct()
+    )
+    csh = shingle_table(corpus, id_col, text_col, k).join(
+        cand.select(F.col("j").alias("id")).distinct(), "id", "left_semi"
+    )
+    return jaccard_verify(cand, dsh.unionByName(csh), threshold)
 
 
 # -- SimHash ---------------------------------------------------------------

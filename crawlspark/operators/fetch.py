@@ -39,21 +39,25 @@ def fetch_batch(batch: DataFrame, cfg: GraphConfig, cycle_id: int) -> DataFrame:
         + [
             T.StructField("ok", T.BooleanType(), False),
             T.StructField("spans", T.ArrayType(SPAN), False),
+            # C24: 301 Location for alias URLs (null = a real document).
+            # A redirect response is a SUCCESSFUL terminal fetch of the
+            # alias — no spans, no document; the target re-enters the
+            # discovery path. Failed alias attempts retry like any.
+            T.StructField("redirect_to", T.StringType(), True),
         ]
     )
 
     def fetcher(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            oks, spans = [], []
+            oks, spans, redirs = [], [], []
             for u, attempt in zip(pdf["url_norm"], pdf["attempt"]):
                 i, j = cfg.url_to_page(u)
-                if cfg.fetch_ok(i, j, int(attempt)):
-                    oks.append(True)
-                    spans.append(cfg.page_spans(i, j))
-                else:
-                    oks.append(False)
-                    spans.append([])
-            yield pdf.assign(ok=oks, spans=spans)
+                ok = cfg.fetch_ok(i, j, int(attempt))
+                tgt = cfg.alias_target(i, j) if ok else None
+                oks.append(ok)
+                redirs.append(tgt)
+                spans.append(cfg.page_spans(i, j) if ok and tgt is None else [])
+            yield pdf.assign(ok=oks, spans=spans, redirect_to=redirs)
 
     docs = batch.select("url_norm", "host", "depth", "batch_pos", "attempt").mapInPandas(
         fetcher, schema=out_schema

@@ -242,6 +242,46 @@ def pack_sequences(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """P27 weighted mixture resampling: rebalance a corpus into a
+    training mixture by per-group sampling weight w — each row of a
+    group with weight w is emitted floor(w) times plus one more with
+    probability frac(w) (so w = 0.25 downsamples to a quarter, w = 2.5
+    emits 2–3 copies). The copy index is exposed as ``epoch`` so
+    downstream packing/shuffling can treat repeats as distinct
+    examples.
+
+    Deterministic by construction: the fractional keep is a threshold
+    on the 60-bit portable md5 of the row id (millionths resolution),
+    NOT rand() — the same rows survive under any partitioning, cluster
+    size, or retry, and the DuckDB oracle replays the choice
+    bit-identically. This is the property a resumable 100 TB mixture
+    job needs: a re-run of one failed partition must re-draw the same
+    sample.
+
+    Scale shape: zero shuffles — the weight table enters as a literal
+    CASE over the (small) group vocabulary, the keep decision and copy
+    explode are narrow per-row ops, so cost is linear in corpus bytes
+    and the output inherits the input partitioning."""
+    w_expr = F.lit(int(round(default_weight * 1_000_000)))
+    for g, w in sorted(weights.items()):
+        w_expr = F.when(F.col(group_col) == g, F.lit(int(round(w * 1_000_000)))).otherwise(w_expr)
+    probe = F.pmod(md5hash60(id_col), F.lit(1_000_000))
+    n = (F.floor(w_expr / 1_000_000) + (probe < w_expr % 1_000_000).cast("int")).cast("int")
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
+    )
+
+
 def boilerplate_detect(
     df: DataFrame,
     id_col: str,

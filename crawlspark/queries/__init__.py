@@ -33,6 +33,7 @@ _WINDOW = [
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
     "q88_forget_recrawl", "q89_time_travel", "q67_trap_guard",
+    "q68_redirects",
     # streaming S1–S6, plus the crawl-stream wrapper (S1 applied to
     # the engine's own frontier/metrics deltas)
     "q90_stream_window_rates", "q91_stream_sessions",
@@ -56,8 +57,7 @@ _WINDOW = [
     # (tail moves, each §2 row still evidenced in-window — rationale
     # per-query in README "Query registry ordering": q02→q28/q29
     # project/cast, q04→q01 hash agg, q05→q26 anti join, q17→q30
-    # array HOFs, q06/q09/q19 from r2)
-    "q07_ship_latency",
+    # array HOFs, q07→q03 shuffle join, q06/q09/q19 from r2)
     "q08_region_status_grid", "q10_group_families",
     "q12_top_orders_per_cust", "q13_running_total", "q14_topk_orders",
     "q15_setops", "q18_doc_pivot",

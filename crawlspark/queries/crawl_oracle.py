@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 6
+_VERSION = 7
 
 
 def _md5_60(s: str) -> int:
@@ -147,6 +147,15 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
     q67 = [
         (h, p, len(v), min(v)) for (h, p), v in sorted(by_pat.items())
     ]
+    # q68: the redirect map (alias → canonical Location, hop cycle)
+    # joined with whether/when the target entered the seen set (-1 =
+    # target never admitted, e.g. a 301 into /private that robots
+    # killed) — evidences both the hop log and redirect-admission
+    # accounting in one table
+    q68 = [
+        (src, dst, c, res.seen.get(dst, -1))
+        for (src, dst, c) in res.redirects
+    ]
     by_ch: dict[tuple, list] = {}
     for (c, pos, _u, host, _sc, _sq, _d, _att, ok) in res.order:
         by_ch.setdefault((c, host), []).append((pos, ok))
@@ -207,6 +216,11 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
             "host string, path string, n_urls int64, first_seen int64",
             q67,
         ),
+        "q68_redirects": (
+            ["src", "dst", "cycle_id", "dst_first_cycle"],
+            "src string, dst string, cycle_id int64, dst_first_cycle int64",
+            q68,
+        ),
     }
 
 
@@ -219,6 +233,7 @@ _NAMES = [
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
     "q86_frame_sample", "q93_crawl_stream_rates", "q67_trap_guard",
+    "q68_redirects",
 ]
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..engine import CrawlEngine, EngineConfig
 from ..portable import md5hash60
-from ..synth import UNIT, UNIT_TRAP
+from ..synth import UNIT, UNIT_REDIR, UNIT_TRAP
 
 _ENGINE_CACHE: dict[str, CrawlEngine] = {}
 
@@ -170,6 +170,44 @@ def q67_trap_guard(spark, sf):
     )
 
 
+def _engine_redir(spark) -> CrawlEngine:
+    """UNIT_REDIR crawl: every 3rd outlink is a /r{j} short-link alias
+    that 301s to the canonical page (C24)."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-redir"
+    if key not in _ENGINE_CACHE:
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_REDIR, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q68_redirects(spark, sf):
+    """C24 redirect handling through the driver's harness: the hop log
+    (alias → canonical Location, hop cycle) joined with when the target
+    entered the seen set (-1 = never admitted: a 301 into /private dies
+    at robots, or the target was capped). Any admission/ordering
+    divergence under redirects shifts the map or the first_cycle
+    column; the refsim replays the same 301 semantics sequentially
+    (crawl_oracle.py)."""
+    eng = _engine_redir(spark)
+    seen = eng.seen_set().select(
+        F.col("url_norm").alias("dst"), "first_cycle"
+    )
+    return (
+        eng.redirect_map()
+        .join(seen, "dst", "left")
+        .select(
+            "src", "dst", "cycle_id",
+            F.coalesce("first_cycle", F.lit(-1)).cast("long")
+            .alias("dst_first_cycle"),
+        )
+    )
+
+
 def _engine_forgotten(spark) -> CrawlEngine:
     """UNIT crawl (cuckoo sidecar) with the 5 lexicographically-first
     seen URLs forgotten after completion — memoized post-forget."""
@@ -223,6 +261,7 @@ QUERIES = {
     "q85_pagerank": q85_pagerank,
     "q86_frame_sample": q86_frame_sample,
     "q67_trap_guard": q67_trap_guard,
+    "q68_redirects": q68_redirects,
     "q87_cuckoo_seen": q87_cuckoo_seen,
     "q88_forget_recrawl": q88_forget_recrawl,
     "q89_time_travel": q89_time_travel,
@@ -240,4 +279,5 @@ def build_oracle() -> dict[str, str]:
 
     sql = build_crawl_oracles(UNIT)
     sql["q67_trap_guard"] = build_crawl_oracles(UNIT_TRAP)["q67_trap_guard"]
+    sql["q68_redirects"] = build_crawl_oracles(UNIT_REDIR)["q68_redirects"]
     return sql

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup
-from ..portable import md5hash60_sql
+from ..portable import md5hash60, md5hash60_sql
 from .relational import T
 
 _H = md5hash60_sql
@@ -113,6 +113,74 @@ inter AS (
 sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1)
 SELECT i, j, round(n_inter / (si.n + sj.n - n_inter), 6) AS jac
 FROM inter JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+WHERE n_inter / (si.n + sj.n - n_inter) >= 0.5
+"""
+
+
+# --- incremental dedup: delta vs existing corpus (P28) -------------------
+
+def q70_incremental_dedup(spark, sf):
+    """P28: a synthetic 'today's crawl' increment (a deterministic ~30%
+    of docs, re-ids'd `new-*`, with 3 words appended — the typical
+    re-crawled-page-with-edit) deduped against the full corpus: delta
+    docs shingle/minhash/band, probe the corpus band index, exact-
+    verify candidates only. Corpus × corpus never joins."""
+    d = T(spark, sf, "documents")
+    delta = d.filter(F.pmod(md5hash60("doc_id"), F.lit(10)) < 3).select(
+        F.concat(F.lit("new-"), F.col("doc_id")).alias("doc_id"),
+        F.concat(F.trim(F.col("text")), F.lit(" incremental update pass")).alias("text"),
+    )
+    corpus = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return dedup.incremental_near_dups(
+        delta, corpus, "doc_id", "text", k=2, n_hashes=8, bands=4, threshold=0.5
+    )
+
+
+SQL70 = f"""
+WITH sh AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id,
+         (w[i] || '_' || w[i+1]) AS shingle
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+sig AS (
+  SELECT id, j, min({_H("CAST(j AS VARCHAR) || '#' || shingle")}) AS minh
+  FROM sh, UNNEST(generate_series(0, 7)) AS t(j)
+  GROUP BY id, j),
+bands AS (
+  SELECT id, j // 2 AS band,
+         string_agg(CAST(minh AS VARCHAR), '#' ORDER BY j) AS bs
+  FROM sig GROUP BY 1, 2),
+bh AS (SELECT id, band, {_H("bs")} AS band_hash FROM bands),
+delta AS (
+  SELECT 'new-' || doc_id AS id,
+         trim(text) || ' incremental update pass' AS text
+  FROM documents WHERE ({_H("doc_id")} % 10) < 3),
+dsh AS (
+  SELECT DISTINCT id, (w[i] || '_' || w[i+1]) AS shingle
+  FROM (SELECT id, string_split(trim(text), ' ') AS w FROM delta),
+       UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+dsig AS (
+  SELECT id, j, min({_H("CAST(j AS VARCHAR) || '#' || shingle")}) AS minh
+  FROM dsh, UNNEST(generate_series(0, 7)) AS t(j)
+  GROUP BY id, j),
+dbands AS (
+  SELECT id, j // 2 AS band,
+         string_agg(CAST(minh AS VARCHAR), '#' ORDER BY j) AS bs
+  FROM dsig GROUP BY 1, 2),
+dbh AS (SELECT id, band, {_H("bs")} AS band_hash FROM dbands),
+cand AS (
+  SELECT DISTINCT a.id AS i, b2.id AS j
+  FROM dbh a JOIN bh b2
+    ON a.band = b2.band AND a.band_hash = b2.band_hash),
+inter AS (
+  SELECT c.i, c.j, count(*) AS n_inter
+  FROM cand c JOIN dsh a ON a.id = c.i
+              JOIN sh b ON b.id = c.j AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+dsz AS (SELECT id, count(*) AS n FROM dsh GROUP BY 1),
+sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1)
+SELECT i, j, round(n_inter / (si.n + sj.n - n_inter), 6) AS jac
+FROM inter JOIN dsz si ON si.id = i JOIN sz sj ON sj.id = j
 WHERE n_inter / (si.n + sj.n - n_inter) >= 0.5
 """
 
@@ -261,6 +329,7 @@ QUERIES = {
     "q54_simhash_pairs": q54_simhash_pairs,
     "q55_chargram_pairs": q55_chargram_pairs,
     "q56_dedup_clusters": q56_dedup_clusters,
+    "q70_incremental_dedup": q70_incremental_dedup,
 }
 
 ORACLE = {
@@ -272,4 +341,5 @@ ORACLE = {
     "q54_simhash_pairs": SQL54,
     "q55_chargram_pairs": SQL55,
     "q56_dedup_clusters": SQL56,
+    "q70_incremental_dedup": SQL70,
 }

@@ -442,6 +442,35 @@ GROUP BY 1
 """
 
 
+def q69_mixture(spark, sf):
+    """P27 weighted mixture resampling by language: downsample the en
+    head (0.5), upsample de (2.25 → 2-3 copies), keep fr (1.0),
+    near-drop zh (0.125), default 0.75 for the rest (es). The epoch
+    column indexes repeats; the deterministic md5-threshold keep means
+    DuckDB replays the exact row choice."""
+    out = textstats.mixture_sample(
+        T(spark, sf, "documents"), "doc_id", "lang",
+        {"en": 0.5, "de": 2.25, "fr": 1.0, "zh": 0.125},
+        default_weight=0.75,
+    )
+    return out.select("doc_id", "lang", "source", "epoch")
+
+
+_W69 = ("CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 2250000 "
+        "WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 125000 ELSE 750000 END")
+
+SQL69 = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         ({_W69} // 1000000)
+         + CASE WHEN ({_H("doc_id")} % 1000000) < ({_W69} % 1000000)
+                THEN 1 ELSE 0 END AS n
+  FROM documents)
+SELECT doc_id, lang, source, CAST(u.epoch AS INT) AS epoch
+FROM d, UNNEST(range(1, n + 1)) AS u(epoch)
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -454,6 +483,7 @@ QUERIES = {
     "q49_bm25": q49_bm25,
     "q58_seq_packing": q58_seq_packing,
     "q66_boilerplate": q66_boilerplate,
+    "q69_mixture": q69_mixture,
 }
 
 ORACLE = {
@@ -468,4 +498,5 @@ ORACLE = {
     "q43_fingerprint": SQL43,
     "q44_media_meta": SQL44,
     "q66_boilerplate": SQL66,
+    "q69_mixture": SQL69,
 }

@@ -39,6 +39,8 @@ class RefSimResult:
     docs: dict[str, tuple[int, list[dict]]] = field(default_factory=dict)
     # discovery lineage: (parent url_norm, discovered url_norm)
     edges: list[tuple[str, str]] = field(default_factory=list)
+    # C24: every successful 301 hop (alias, canonical target, cycle)
+    redirects: list[tuple[str, str, int]] = field(default_factory=list)
     # per-cycle counters matching the engine's metrics rollup:
     # (cycle_id, urls_in, urls_deduped, urls_scheduled, docs_written)
     cycles: list[tuple[int, int, int, int, int]] = field(default_factory=list)
@@ -155,6 +157,16 @@ class RefSim:
                     attempts[u] = attempt
                     if attempt < max_retries:
                         queued[u] = (score, s, depth, host)
+                    continue
+                tgt = cfg.alias_target(i, j)
+                if tgt is not None:
+                    # C24: a successful 301 terminally resolves the
+                    # alias — no document; the Location re-enters the
+                    # discovery path at the SAME depth, ordered before
+                    # any links of this batch slot (the engine's
+                    # span_pos = -1)
+                    res.redirects.append((u, tgt, c))
+                    admit(tgt, depth, c, base=u)
                     continue
                 n_docs += 1
                 spans = cfg.page_spans(i, j)

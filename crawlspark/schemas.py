@@ -202,6 +202,17 @@ PATTERN_COUNTS = T.StructType(
     ]
 )
 
+# C24 redirect map: every successful 301 hop (alias → canonical
+# Location), append-only — the URL-aliasing identity a re-crawl or
+# link-graph consumer needs even when the target was already seen.
+REDIRECTS = T.StructType(
+    [
+        T.StructField("src", T.StringType(), False),
+        T.StructField("dst", T.StringType(), False),
+        T.StructField("cycle_id", T.LongType(), False),
+    ]
+)
+
 METRICS = T.StructType(
     [
         T.StructField("cycle_id", T.LongType(), False),
@@ -228,5 +239,6 @@ TABLE_SCHEMAS = {
     "host_state": HOST_STATE,
     "fetch_log": FETCH_LOG,
     "pattern_counts": PATTERN_COUNTS,
+    "redirects": REDIRECTS,
     "metrics": METRICS,
 }

@@ -32,6 +32,12 @@ def h64(*parts) -> int:
     return int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big")
 
 
+# C24: routed page index offset marking alias URLs (url_to_page returns
+# ALIAS_BASE + target_page for `/r{page}`; alias_target inverts it).
+# Far above any real page count, far below the trap's negative range.
+ALIAS_BASE = 10**9
+
+
 @dataclass(frozen=True)
 class GraphConfig:
     seed: int = 42
@@ -59,6 +65,12 @@ class GraphConfig:
     # non-trap crawls bit-identical).
     trap_hosts: int = 0
     pattern_budget: int | None = None
+    # redirect knob (C24): every redirect_every'th outlink (hash-picked
+    # per (page, k)) is emitted as an ALIAS URL `/r{j}` on the target's
+    # host; fetching the alias 301s to the canonical page (which may be
+    # /private — the redirect target then dies at robots admission,
+    # exactly as a real crawler must handle Location headers). 0 = off.
+    redirect_every: int = 0
 
     # -- topology ----------------------------------------------------------
 
@@ -147,6 +159,19 @@ class GraphConfig:
         classic infinite-URL-space shape (next/prev month links)."""
         return f"http://{self.host(i)}/cal?d={d}"
 
+    def alias_url(self, i: int, j: int) -> str:
+        """C24: the short-link alias for page (i, j); fetching it
+        returns a 301 to page_url(i, j)."""
+        return f"http://{self.host(i)}/r{j}"
+
+    def alias_target(self, i: int, j: int) -> str | None:
+        """Redirect Location for a routed page index: aliases route as
+        j = ALIAS_BASE + target_page (see url_to_page); regular pages
+        return None."""
+        if j >= ALIAS_BASE:
+            return self.page_url(i, j - ALIAS_BASE)
+        return None
+
     def url_to_page(self, url_norm: str) -> tuple[int, int]:
         """Inverse of page_url over canonical URLs (the fetcher's
         router). Calendar-trap URLs route as (site, -day): the negative
@@ -157,6 +182,9 @@ class GraphConfig:
         m = re.match(r"http://site(\d{4})\.example\.com/cal\?d=(\d+)$", url_norm)
         if m and self.trap_hosts:
             return int(m.group(1)), -int(m.group(2))
+        m = re.match(r"http://site(\d{4})\.example\.com/r(\d+)$", url_norm)
+        if m and self.redirect_every:
+            return int(m.group(1)), ALIAS_BASE + int(m.group(2))
         raise ValueError(f"not a synthetic page url: {url_norm}")
 
     def outlink_targets(self, i: int, j: int) -> list[str]:
@@ -195,10 +223,21 @@ class GraphConfig:
         return f"{scheme}://{host}{path}?fbclid=xyz{k}&utm_medium=m{k}"
 
     def outlinks_messy(self, i: int, j: int) -> list[str]:
-        return [
-            self.messy_url(u, i, j, k)
-            for k, u in enumerate(self.outlink_targets(i, j))
-        ]
+        out = []
+        for k, u in enumerate(self.outlink_targets(i, j)):
+            if (
+                self.redirect_every
+                and h64(self.seed, "redir", i, j, k) % self.redirect_every == 0
+            ):
+                # emit the alias instead of the direct link: the target
+                # is then only reachable through the 301 from this hop
+                # (unless some other page links it directly — both
+                # routes coexisting is exactly the dedup case C24 must
+                # account for)
+                ti, tj = self.url_to_page(u)
+                u = self.alias_url(ti, tj)
+            out.append(self.messy_url(u, i, j, k))
+        return out
 
     # -- spans (the interleaved text+media payload) -------------------------
 
@@ -286,6 +325,13 @@ UNIT = GraphConfig(n_sites=5, max_pages=40, batch_size=16, max_cycles=6)
 # admitted by cycle 6 and growing); guarded, both hosts pin at exactly 3
 UNIT_TRAP = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                         max_cycles=6, trap_hosts=2, pattern_budget=3)
+# UNIT graph + every 3rd outlink emitted as a /r{j} short-link alias
+# that 301s to the canonical page (C24): exercises redirect-discovered
+# admission (same depth, span_pos -1 ordering), alias+direct dedup,
+# redirects-to-/private dying at robots, and failing alias fetches
+# retrying like any attempt
+UNIT_REDIR = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                         max_cycles=6, redirect_every=3)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,

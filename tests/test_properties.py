@@ -453,3 +453,35 @@ def test_ivf_quantizer_captures_structure(spark):
     capture = sum(1 for i, j in pairs if cell[i] == cell[j]) / len(pairs)
     assert capture >= 3 / 16, f"capture {capture} not above chance"
     assert assignment() == cell, "quantizer must be deterministic"
+
+
+# -- P27 mixture resampling: deterministic, partitioning-invariant --------
+
+def test_mixture_sample_deterministic_and_weighted(spark):
+    from crawlspark.operators import textstats
+
+    rows = [(f"doc{i:05d}", ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id string, grp string")
+    w = {"a": 2.0, "b": 0.5, "c": 1.25}
+
+    out = textstats.mixture_sample(df, "id", "grp", w).persist()
+    try:
+        # integer part exact: every group-a row appears exactly twice
+        per_a = (
+            out.filter("grp = 'a'").groupBy("id").count()
+            .select(F.collect_set("count")).first()[0]
+        )
+        assert per_a == [2]
+        # fractional part lands near the weight (md5 is uniform)
+        n_b = out.filter("grp = 'b'").count()
+        assert 0.35 * 1000 < n_b < 0.65 * 1000
+        # epoch indexes copies 1..n
+        assert out.agg(F.min("epoch"), F.max("epoch")).first() == (1, 2)
+
+        # partitioning-invariant: identical multiset under repartition
+        again = textstats.mixture_sample(df.repartition(13), "id", "grp", w)
+        a = sorted(out.select("id", "grp", "epoch").collect())
+        b = sorted(again.select("id", "grp", "epoch").collect())
+        assert a == b
+    finally:
+        out.unpersist()
