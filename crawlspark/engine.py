@@ -858,6 +858,35 @@ class CrawlEngine:
         urls.unpersist()
         return {"reseeded": n}
 
+    def revisit(self, min_age: int) -> dict:
+        """C25 freshness re-crawl: re-queue every URL whose LAST
+        successful fetch is ≥ ``min_age`` cycles old — the periodic
+        staleness sweep a long-lived crawl runs between discovery
+        cycles. Delegates to :meth:`reseed` (forget + depth-0
+        re-injection with strictly-new seqs), so re-fetches compete
+        under normal politeness caps and, with versioned content
+        (GraphConfig.revision_every), land NEW rows in the append-only
+        ``documents`` log — version history per doc_id, the substrate
+        for change-rate estimation.
+
+        Scans the ``scheduled`` history log (one partial-aggregated
+        groupBy + filter) — acceptable because revisit is a rare
+        maintenance action, not per-cycle; at 10^10 frontier scale the
+        same information could be folded incrementally, but the sweep
+        itself is O(log) once per revisit epoch either way."""
+        snap = self.cat.current_snapshot()
+        now = (snap or {}).get("cycle_id", 0)
+        due = (
+            self.cat.read("scheduled", snap)
+            .filter(F.col("ok"))
+            .groupBy("url_norm")
+            .agg(F.max("cycle_id").alias("last_ok"))
+            .filter(F.lit(now) - F.col("last_ok") >= min_age)
+            .select(F.col("url_norm").alias("url"))
+        )
+        out = self.reseed(due)
+        return {"revisited": out["reseeded"]}
+
     def update_politeness(self, host_config_df: DataFrame) -> dict:
         """Mid-crawl robots / crawl-delay / priority refresh — the
         periodic robots re-fetch a long crawl must do — as one atomic

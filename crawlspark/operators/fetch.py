@@ -56,7 +56,11 @@ def fetch_batch(batch: DataFrame, cfg: GraphConfig, cycle_id: int) -> DataFrame:
                 tgt = cfg.alias_target(i, j) if ok else None
                 oks.append(ok)
                 redirs.append(tgt)
-                spans.append(cfg.page_spans(i, j) if ok and tgt is None else [])
+                spans.append(
+                    cfg.page_spans(i, j, cfg.page_rev(i, j, cycle_id))
+                    if ok and tgt is None
+                    else []
+                )
             yield pdf.assign(ok=oks, spans=spans, redirect_to=redirs)
 
     docs = batch.select("url_norm", "host", "depth", "batch_pos", "attempt").mapInPandas(

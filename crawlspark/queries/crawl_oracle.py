@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 7
+_VERSION = 8
 
 
 def _md5_60(s: str) -> int:
@@ -156,6 +156,17 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
         (src, dst, c, res.seen.get(dst, -1))
         for (src, dst, c) in res.redirects
     ]
+    # q71: per-doc version history from the freshness re-crawl (C25):
+    # version count, distinct content signatures (changed iff > 1),
+    # first/last fetch cycle — all from the successful-fetch log
+    by_u: dict[str, list] = {}
+    for u, c, spans in res.doc_log:
+        by_u.setdefault(u, []).append((c, _md5_60(_span_json(spans))))
+    q71 = [
+        (u, len(v), len({s for _c, s in v}),
+         min(c for c, _s in v), max(c for c, _s in v))
+        for u, v in sorted(by_u.items())
+    ]
     by_ch: dict[tuple, list] = {}
     for (c, pos, _u, host, _sc, _sq, _d, _att, ok) in res.order:
         by_ch.setdefault((c, host), []).append((pos, ok))
@@ -221,6 +232,13 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
             "src string, dst string, cycle_id int64, dst_first_cycle int64",
             q68,
         ),
+        "q71_revisit_versions": (
+            ["doc_id", "n_versions", "n_distinct_sigs", "first_fetch",
+             "last_fetch"],
+            "doc_id string, n_versions int64, n_distinct_sigs int64,"
+            " first_fetch int64, last_fetch int64",
+            q71,
+        ),
     }
 
 
@@ -233,7 +251,7 @@ _NAMES = [
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
     "q86_frame_sample", "q93_crawl_stream_rates", "q67_trap_guard",
-    "q68_redirects",
+    "q68_redirects", "q71_revisit_versions",
 ]
 
 

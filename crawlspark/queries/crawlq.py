@@ -208,6 +208,44 @@ def q68_redirects(spark, sf):
     )
 
 
+def _engine_revisit(spark) -> CrawlEngine:
+    """UNIT_REV scenario: versioned content, 6 discovery cycles, a
+    freshness revisit (min_age per the config), then cycles 7-9
+    re-fetch the stale URLs — new document versions land."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-rev"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_REV
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_REV, warehouse=wh))
+        eng.run(max_cycles=UNIT_REV.revisit_after)
+        eng.revisit(UNIT_REV.revisit_min_age)
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q71_revisit_versions(spark, sf):
+    """C25 freshness re-crawl through the driver's harness: per-doc
+    version history after the scripted revisit — version count,
+    distinct content signatures (changed iff > 1), first/last fetch
+    cycle. The refsim replays the same revisit (forget + lexicographic
+    depth-0 reseed) and versioned page generator sequentially; any
+    divergence in WHO was re-queued or WHAT content landed shifts a
+    row (crawl_oracle.py)."""
+    docs = _engine_revisit(spark).documents()
+    return docs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.countDistinct(md5hash60(F.to_json("spans")))
+        .cast("long").alias("n_distinct_sigs"),
+        F.min("fetch_cycle").alias("first_fetch"),
+        F.max("fetch_cycle").alias("last_fetch"),
+    )
+
+
 def _engine_forgotten(spark) -> CrawlEngine:
     """UNIT crawl (cuckoo sidecar) with the 5 lexicographically-first
     seen URLs forgotten after completion — memoized post-forget."""
@@ -262,6 +300,7 @@ QUERIES = {
     "q86_frame_sample": q86_frame_sample,
     "q67_trap_guard": q67_trap_guard,
     "q68_redirects": q68_redirects,
+    "q71_revisit_versions": q71_revisit_versions,
     "q87_cuckoo_seen": q87_cuckoo_seen,
     "q88_forget_recrawl": q88_forget_recrawl,
     "q89_time_travel": q89_time_travel,
@@ -280,4 +319,9 @@ def build_oracle() -> dict[str, str]:
     sql = build_crawl_oracles(UNIT)
     sql["q67_trap_guard"] = build_crawl_oracles(UNIT_TRAP)["q67_trap_guard"]
     sql["q68_redirects"] = build_crawl_oracles(UNIT_REDIR)["q68_redirects"]
+    from ..synth import UNIT_REV
+
+    sql["q71_revisit_versions"] = build_crawl_oracles(UNIT_REV)[
+        "q71_revisit_versions"
+    ]
     return sql

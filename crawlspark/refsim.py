@@ -35,8 +35,11 @@ class RefSimResult:
     order: list[tuple] = field(default_factory=list)
     # url_norm -> first_cycle (the exact URL-seen set)
     seen: dict[str, int] = field(default_factory=dict)
-    # url_norm -> (fetch_cycle, spans)
+    # url_norm -> (fetch_cycle, spans) — latest version
     docs: dict[str, tuple[int, list[dict]]] = field(default_factory=dict)
+    # C25: every successful document fetch in order (url, cycle, spans)
+    # — multiple rows per url once freshness re-crawls land new versions
+    doc_log: list[tuple[str, int, list[dict]]] = field(default_factory=list)
     # discovery lineage: (parent url_norm, discovered url_norm)
     edges: list[tuple[str, str]] = field(default_factory=list)
     # C24: every successful 301 hop (alias, canonical target, cycle)
@@ -169,8 +172,9 @@ class RefSim:
                     admit(tgt, depth, c, base=u)
                     continue
                 n_docs += 1
-                spans = cfg.page_spans(i, j)
+                spans = cfg.page_spans(i, j, cfg.page_rev(i, j, c))
                 res.docs[u] = (c, spans)
+                res.doc_log.append((u, c, spans))
                 for span in spans:
                     if span["kind"] == "text":
                         for raw in extract_links_from_text(span["text"]):
@@ -178,4 +182,32 @@ class RefSim:
             res.cycles.append(
                 (c, urls_in, len(cyc_cands) - cyc_novel, len(batch), n_docs)
             )
+            if cfg.revisit_after == c:
+                # C25 freshness re-crawl (the engine's revisit()): every
+                # URL whose last successful fetch is ≥ min_age cycles
+                # old is forgotten and reseeded as a depth-0 discovery;
+                # seqs assigned in lexicographic order over the
+                # robots-allowed set, exactly the engine's reseed rank
+                last_ok = {}
+                for (cc, _p, u, _h, _s, _q, _d, _a, ok) in res.order:
+                    if ok:
+                        last_ok[u] = cc
+                due = sorted(
+                    u for u, lc in last_ok.items()
+                    if c - lc >= cfg.revisit_min_age
+                )
+                for u in due:
+                    seen.pop(u, None)
+                    attempts.pop(u, None)
+                    queued.pop(u, None)
+                for u in due:
+                    sp = urlsplit(u)
+                    host, path = sp.hostname, sp.path or "/"
+                    if host not in rules:
+                        continue
+                    if not robots_allowed(path, rules[host]):
+                        continue
+                    seen[u] = c
+                    seq += 1
+                    queued[u] = (0 + prio[host], seq, 0, host)
         return res

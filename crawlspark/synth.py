@@ -71,6 +71,19 @@ class GraphConfig:
     # /private — the redirect target then dies at robots admission,
     # exactly as a real crawler must handle Location headers). 0 = off.
     redirect_every: int = 0
+    # content-freshness knobs (C25): revision_every > 0 makes page text
+    # VERSIONED — page (i,j) re-publishes every
+    # revision_every·(1 + h64 % 3) cycles (its deterministic period),
+    # appending a revision marker to the first text span (links stay
+    # identical, so topology is stable and only content changes).
+    # revisit_after / revisit_min_age script the refsim's mid-run
+    # freshness re-crawl: after cycle `revisit_after`, every URL whose
+    # last successful fetch is ≥ min_age cycles old is reseeded
+    # (forget + depth-0 re-inject); the engine replays the same
+    # scenario via CrawlEngine.revisit().
+    revision_every: int = 0
+    revisit_after: int | None = None
+    revisit_min_age: int = 3
 
     # -- topology ----------------------------------------------------------
 
@@ -241,7 +254,16 @@ class GraphConfig:
 
     # -- spans (the interleaved text+media payload) -------------------------
 
-    def page_spans(self, i: int, j: int) -> list[dict]:
+    def page_rev(self, i: int, j: int, cycle: int) -> int:
+        """C25: content revision of page (i,j) as of `cycle` — 0 until
+        the first re-publish, then cycle // period. Pure function, so
+        the refsim and the Arrow fetcher agree byte-for-byte."""
+        if not self.revision_every or j < 0:
+            return 0
+        period = self.revision_every * (1 + h64(self.seed, "revp", i, j) % 3)
+        return cycle // period
+
+    def page_spans(self, i: int, j: int, rev: int = 0) -> list[dict]:
         if j < 0:
             # trap payload: a single text span linking next-day and
             # next-week — each fetch mints two more candidates forever
@@ -262,6 +284,11 @@ class GraphConfig:
         body = f"site {i} page {j} :: {hrefs} :: " + " ".join(
             f"w{h64(self.seed, 'word', i, j, w) % 997}" for w in range(6)
         )
+        if rev:
+            # C25: re-published content — links unchanged, text revised
+            body += f" rev{rev} " + " ".join(
+                f"v{h64(self.seed, 'revw', i, j, rev, w) % 997}" for w in range(2)
+            )
         spans = [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
         offset = len(body) + 1
         n_extra = h64(self.seed, "nspan", i, j) % 4
@@ -332,6 +359,14 @@ UNIT_TRAP = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # retrying like any attempt
 UNIT_REDIR = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                          max_cycles=6, redirect_every=3)
+# UNIT graph + versioned content (pages re-publish every 1-3 cycles) +
+# a scripted freshness re-crawl: after cycle 6, URLs last fetched ≥ 3
+# cycles ago are reseeded and cycles 7-9 re-fetch them, landing new
+# document versions (some changed, some not — change detection's both
+# outcomes)
+UNIT_REV = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                       max_cycles=9, revision_every=3,
+                       revisit_after=6, revisit_min_age=3)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,
