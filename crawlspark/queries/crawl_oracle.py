@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 8
+_VERSION = 9
 
 
 def _md5_60(s: str) -> int:
@@ -113,7 +113,7 @@ def _pagerank(edges: list[tuple[str, str]], damping: float, iterations: int):
     return [(u, _round6_half_up(r)) for u, r in ranks.items()]
 
 
-def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
+def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], str, list[tuple]]]:
     """name -> (columns, typed-schema DDL, rows)."""
     q80 = [
         (c, p, u, xxhash64_str(u), host, score, seq, depth, att, ok)
@@ -167,6 +167,27 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
          min(c for c, _s in v), max(c for c, _s in v))
         for u, v in sorted(by_u.items())
     ]
+    # q72: per-host change-rate estimation from the version history +
+    # the adaptive next revisit interval (integer-threshold rule so the
+    # decision replays exactly: ratio ≥ 1/2 → halve the interval,
+    # ratio ≤ 1/5 → double it, else keep)
+    base = cfg.revisit_min_age
+    by_host: dict[str, list] = {}
+    for u, v in by_u.items():
+        if len(v) > 1:
+            by_host.setdefault(urlsplit(u).hostname, []).append(
+                len({s for _c, s in v}) > 1
+            )
+    q72 = []
+    for h, flags in sorted(by_host.items()):
+        n_ref, n_chg = len(flags), sum(flags)
+        if 2 * n_chg >= n_ref:
+            nxt = max(1, base // 2)
+        elif 5 * n_chg <= n_ref:
+            nxt = base * 2
+        else:
+            nxt = base
+        q72.append((h, n_ref, n_chg, _round6_half_up(n_chg / n_ref), nxt))
     by_ch: dict[tuple, list] = {}
     for (c, pos, _u, host, _sc, _sq, _d, _att, ok) in res.order:
         by_ch.setdefault((c, host), []).append((pos, ok))
@@ -239,6 +260,13 @@ def _tables(res: RefSimResult) -> dict[str, tuple[list[str], str, list[tuple]]]:
             " first_fetch int64, last_fetch int64",
             q71,
         ),
+        "q72_change_rates": (
+            ["host", "n_refetched", "n_changed", "change_ratio",
+             "next_interval"],
+            "host string, n_refetched int64, n_changed int64,"
+            " change_ratio double, next_interval int64",
+            q72,
+        ),
     }
 
 
@@ -251,7 +279,7 @@ _NAMES = [
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
     "q86_frame_sample", "q93_crawl_stream_rates", "q67_trap_guard",
-    "q68_redirects", "q71_revisit_versions",
+    "q68_redirects", "q71_revisit_versions", "q72_change_rates",
 ]
 
 
@@ -273,7 +301,7 @@ def build_crawl_oracles(cfg: GraphConfig = UNIT) -> dict[str, str]:
 
             shutil.rmtree(out_dir, ignore_errors=True)
         res = RefSim(cfg).run()
-        tables = _tables(res)
+        tables = _tables(res, cfg)
         tmp = tempfile.mkdtemp(prefix=f"{out_dir}.stage-")
         for name, (cols, ddl, rows) in tables.items():
             fields = []

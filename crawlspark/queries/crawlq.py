@@ -246,6 +246,39 @@ def q71_revisit_versions(spark, sf):
     )
 
 
+def q72_change_rates(spark, sf):
+    """C25's adaptive layer through the driver's harness: per-host
+    change rate over the re-fetched docs and the next revisit interval
+    by integer-threshold rule (≥1/2 changed → halve, ≤1/5 → double,
+    else keep) — the estimator a freshness-aware scheduler feeds back
+    into revisit(min_age)."""
+    from ..synth import UNIT_REV
+
+    docs = _engine_revisit(spark).documents()
+    per_doc = docs.groupBy("doc_id", "host").agg(
+        F.count("*").alias("nv"),
+        F.countDistinct(md5hash60(F.to_json("spans"))).alias("nd"),
+    )
+    base = UNIT_REV.revisit_min_age
+    return (
+        per_doc.filter(F.col("nv") > 1)
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_refetched"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("long").alias("n_changed"),
+        )
+        .select(
+            "host", "n_refetched", "n_changed",
+            F.round(F.col("n_changed") / F.col("n_refetched"), 6).alias("change_ratio"),
+            F.when(2 * F.col("n_changed") >= F.col("n_refetched"), F.lit(max(1, base // 2)))
+            .when(5 * F.col("n_changed") <= F.col("n_refetched"), F.lit(base * 2))
+            .otherwise(F.lit(base))
+            .cast("long")
+            .alias("next_interval"),
+        )
+    )
+
+
 def _engine_forgotten(spark) -> CrawlEngine:
     """UNIT crawl (cuckoo sidecar) with the 5 lexicographically-first
     seen URLs forgotten after completion — memoized post-forget."""
@@ -301,6 +334,7 @@ QUERIES = {
     "q67_trap_guard": q67_trap_guard,
     "q68_redirects": q68_redirects,
     "q71_revisit_versions": q71_revisit_versions,
+    "q72_change_rates": q72_change_rates,
     "q87_cuckoo_seen": q87_cuckoo_seen,
     "q88_forget_recrawl": q88_forget_recrawl,
     "q89_time_travel": q89_time_travel,
@@ -321,7 +355,7 @@ def build_oracle() -> dict[str, str]:
     sql["q68_redirects"] = build_crawl_oracles(UNIT_REDIR)["q68_redirects"]
     from ..synth import UNIT_REV
 
-    sql["q71_revisit_versions"] = build_crawl_oracles(UNIT_REV)[
-        "q71_revisit_versions"
-    ]
+    rev_sql = build_crawl_oracles(UNIT_REV)
+    sql["q71_revisit_versions"] = rev_sql["q71_revisit_versions"]
+    sql["q72_change_rates"] = rev_sql["q72_change_rates"]
     return sql
