@@ -24,7 +24,9 @@ from pyspark.sql import types as T
 from ..schemas import SPAN
 from ..synth import GraphConfig
 
-HREF_PATTERN = r'href="([^"]+)"'
+# href="X" or <loc>X</loc> (C26 sitemaps) — single capture group, one
+# regexp_extract_all pass; must stay identical to synth._HREF
+HREF_PATTERN = r'(?:href="|<loc>)([^"<]+)'
 
 
 def fetch_batch(batch: DataFrame, cfg: GraphConfig, cycle_id: int) -> DataFrame:

@@ -279,6 +279,33 @@ def q72_change_rates(spark, sf):
     )
 
 
+def _engine_smap(spark) -> CrawlEngine:
+    """UNIT_SMAP crawl: every other host publishes /sitemap.xml (C26);
+    sitemap seeds fetch under normal politeness and their <loc>
+    children — orphans included — enter at depth 1."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-smap"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_SMAP
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_SMAP, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q73_sitemap_seen(spark, sf):
+    """C26 sitemap ingestion through the driver's harness: the final
+    seen set of the sitemap-enabled crawl. Divergence in sitemap
+    fetch ordering, <loc> extraction, or child admission (orphan pages
+    have no other route in) shifts rows; the refsim replays the same
+    seeds and shared extraction regex sequentially."""
+    return _engine_smap(spark).seen_set()
+
+
 def _engine_forgotten(spark) -> CrawlEngine:
     """UNIT crawl (cuckoo sidecar) with the 5 lexicographically-first
     seen URLs forgotten after completion — memoized post-forget."""
@@ -335,6 +362,7 @@ QUERIES = {
     "q68_redirects": q68_redirects,
     "q71_revisit_versions": q71_revisit_versions,
     "q72_change_rates": q72_change_rates,
+    "q73_sitemap_seen": q73_sitemap_seen,
     "q87_cuckoo_seen": q87_cuckoo_seen,
     "q88_forget_recrawl": q88_forget_recrawl,
     "q89_time_travel": q89_time_travel,
@@ -358,4 +386,8 @@ def build_oracle() -> dict[str, str]:
     rev_sql = build_crawl_oracles(UNIT_REV)
     sql["q71_revisit_versions"] = rev_sql["q71_revisit_versions"]
     sql["q72_change_rates"] = rev_sql["q72_change_rates"]
+    # q73's expectation is just the seen table of the sitemap graph
+    from ..synth import UNIT_SMAP
+
+    sql["q73_sitemap_seen"] = build_crawl_oracles(UNIT_SMAP)["q81_crawl_seen"]
     return sql

@@ -36,6 +36,10 @@ def h64(*parts) -> int:
 # ALIAS_BASE + target_page for `/r{page}`; alias_target inverts it).
 # Far above any real page count, far below the trap's negative range.
 ALIAS_BASE = 10**9
+# C26: routed page index marking a host's /sitemap.xml (far below the
+# trap range's small negative day numbers, so the trap payload branch
+# can never collide with it)
+SITEMAP_J = -(10**9)
 
 
 @dataclass(frozen=True)
@@ -84,6 +88,13 @@ class GraphConfig:
     revision_every: int = 0
     revisit_after: int | None = None
     revisit_min_age: int = 3
+    # sitemap knob (C26): when on, every other host publishes
+    # /sitemap.xml listing a hash-picked third of its pages as
+    # <loc> entries. The sitemap URL is seeded (depth 0) and fetched
+    # through the normal politeness/ordering path; its <loc> children
+    # enter discovery at depth 1 — including ORPHAN pages no link graph
+    # path reaches, the discovery source sitemaps exist for.
+    sitemaps: bool = False
 
     # -- topology ----------------------------------------------------------
 
@@ -185,6 +196,22 @@ class GraphConfig:
             return self.page_url(i, j - ALIAS_BASE)
         return None
 
+    # -- sitemaps (C26) ------------------------------------------------------
+
+    def has_sitemap(self, i: int) -> bool:
+        return self.sitemaps and h64(self.seed, "smap", i) % 2 == 0
+
+    def sitemap_url(self, i: int) -> str:
+        return f"http://{self.host(i)}/sitemap.xml"
+
+    def sitemap_pages(self, i: int) -> list[int]:
+        """Pages listed in host i's sitemap: a hash-picked third —
+        independent of the link graph, so some are orphans."""
+        return [
+            j for j in range(self.pages_in_site(i))
+            if h64(self.seed, "sloc", i, j) % 3 == 0
+        ]
+
     def url_to_page(self, url_norm: str) -> tuple[int, int]:
         """Inverse of page_url over canonical URLs (the fetcher's
         router). Calendar-trap URLs route as (site, -day): the negative
@@ -198,6 +225,9 @@ class GraphConfig:
         m = re.match(r"http://site(\d{4})\.example\.com/r(\d+)$", url_norm)
         if m and self.redirect_every:
             return int(m.group(1)), ALIAS_BASE + int(m.group(2))
+        m = re.match(r"http://site(\d{4})\.example\.com/sitemap\.xml$", url_norm)
+        if m and self.sitemaps:
+            return int(m.group(1)), SITEMAP_J
         raise ValueError(f"not a synthetic page url: {url_norm}")
 
     def outlink_targets(self, i: int, j: int) -> list[str]:
@@ -264,6 +294,15 @@ class GraphConfig:
         return cycle // period
 
     def page_spans(self, i: int, j: int, rev: int = 0) -> list[dict]:
+        if j == SITEMAP_J:
+            # C26: the sitemap document — one text span of <loc>
+            # entries; the shared extraction regex captures them like
+            # hrefs, so sitemap children ride the normal discovery path
+            body = "<urlset> " + " ".join(
+                f"<loc>{self.page_url(i, jj)}</loc>"
+                for jj in self.sitemap_pages(i)
+            ) + " </urlset>"
+            return [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
         if j < 0:
             # trap payload: a single text span linking next-day and
             # next-week — each fetch mints two more candidates forever
@@ -311,17 +350,29 @@ class GraphConfig:
         """Messy seed URLs (pages 0..seeds_per_site-1 per site),
         site-major; always absolute (seeds have no base to resolve
         against)."""
-        return [
+        out = [
             self.messy_url(self.page_url(i, j), i, j, 999, allow_relative=False)
             for i in range(self.n_sites)
             for j in range(min(self.seeds_per_site, self.pages_in_site(i)))
         ]
+        # C26: sitemap URLs seed alongside the page seeds (a real
+        # crawler learns them from robots.txt Sitemap: directives or
+        # operator config; either way they enter as depth-0 seeds)
+        out += [
+            self.sitemap_url(i)
+            for i in range(self.n_sites)
+            if self.has_sitemap(i)
+        ]
+        return out
 
     def total_pages(self) -> int:
         return sum(self.pages_in_site(i) for i in range(self.n_sites))
 
 
-_HREF = re.compile(r'href="([^"]+)"')
+# href="X" captures X up to the closing quote; <loc>X</loc> (C26
+# sitemaps) captures X up to the closing tag — one group for both, so
+# the engine's single regexp_extract_all(…, 1) stays one pass
+_HREF = re.compile(r'(?:href="|<loc>)([^"<]+)')
 
 
 def extract_links_from_text(text: str) -> list[str]:
@@ -367,6 +418,11 @@ UNIT_REDIR = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 UNIT_REV = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                        max_cycles=9, revision_every=3,
                        revisit_after=6, revisit_min_age=3)
+# UNIT graph + sitemaps on every other host: /sitemap.xml seeds fetch
+# through normal politeness/ordering; <loc> children (a hash-picked
+# third of each host's pages, orphans included) enter at depth 1
+UNIT_SMAP = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                        max_cycles=6, sitemaps=True)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,

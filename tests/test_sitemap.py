@@ -1,0 +1,49 @@
+"""C26 sitemap ingestion: engine == refsim with sitemaps active.
+
+UNIT_SMAP seeds /sitemap.xml on every other host; the sitemap fetches
+through normal politeness/ordering, and its <loc> children enter
+discovery at depth 1 — including orphan pages no link-graph path
+reaches (the discovery source sitemaps exist for).
+"""
+
+import tempfile
+
+from crawlspark.engine import CrawlEngine, EngineConfig
+from crawlspark.refsim import RefSim
+from crawlspark.synth import UNIT, UNIT_SMAP
+
+
+def test_refsim_sitemap_discovers_orphans():
+    base = RefSim(UNIT).run()
+    smap = RefSim(UNIT_SMAP).run()
+    maps = {u for u in smap.seen if u.endswith("/sitemap.xml")}
+    assert maps, "no sitemap was seeded"
+    # sitemap children include pages the plain crawl never saw
+    extra = set(smap.seen) - set(base.seen) - maps
+    assert extra
+    # at least one extra page came DIRECTLY from a sitemap (the rest
+    # may be reached transitively through sitemap-discovered pages)
+    via_map = {d for s, d in smap.edges if s.endswith("/sitemap.xml")}
+    assert extra & via_map
+
+
+def test_engine_matches_refsim_with_sitemaps(spark):
+    ref = RefSim(UNIT_SMAP).run()
+    eng = CrawlEngine(
+        spark, EngineConfig(graph=UNIT_SMAP, warehouse=tempfile.mkdtemp())
+    )
+    eng.run()
+
+    got_order = [
+        (r["cycle_id"], r["batch_pos"], r["url_norm"], r["attempt"], r["ok"])
+        for r in eng.crawl_order().collect()
+    ]
+    want_order = [
+        (c, p, u, a, ok) for (c, p, u, _h, _s, _q, _d, a, ok) in ref.order
+    ]
+    assert got_order == want_order
+
+    got_seen = {
+        r["url_norm"]: r["first_cycle"] for r in eng.seen_set().collect()
+    }
+    assert got_seen == ref.seen
