@@ -271,3 +271,85 @@ def test_chunk_dedup_partial_agg_no_window(spark):
     assert "partial_min" in p or "Keys: [k" in p  # partial agg on the key
     shuffles = [l for l in p.splitlines() if re.match(r"^\(\d+\) Exchange", l)]
     assert len(shuffles) <= 2, shuffles
+
+
+def test_mixture_sample_narrow_zero_shuffles(spark):
+    """q69 (P27): the mixture resample must stay narrow — weight
+    lookup is a literal CASE (no join), the keep decision is column
+    math, the copy explode is per-row; zero exchanges, zero Python."""
+    from crawlspark.queries.textq import q69_mixture
+
+    p = plan_of(q69_mixture(spark, SF))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+    assert "Join" not in p
+
+
+def test_boilerplate_partial_agg_no_window(spark):
+    """q66 (P26): the within-host DF table must be partial-aggregated
+    groupBys (a 10^6-page banner combines map-side), never a window;
+    the scoring join is a plain equi-join — no cartesian, no Python."""
+    from crawlspark.queries.textq import q66_boilerplate
+
+    p = plan_of(q66_boilerplate(spark, SF))
+    assert "Window" not in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial" in p.lower()
+
+
+def test_incremental_dedup_probes_index_no_corpus_rescan(spark):
+    """P28: with a PRE-BUILT corpus band index, the candidate probe
+    must join delta keys against the index — corpus TEXT is read only
+    for the candidate semi-join in the verify stage, and nothing is
+    quadratic or Python-side."""
+    from crawlspark.operators import dedup
+    from crawlspark.queries.relational import T
+
+    d = T(spark, "/root/testdata/sf0.001", "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    delta = d.limit(50).select(
+        F.concat(F.lit("new-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    idx = dedup.band_keys(
+        dedup.minhash_signatures(
+            dedup.shingle_table(d, "doc_id", "text", 2), 8
+        ),
+        8, 4,
+    )
+    out = dedup.incremental_near_dups(
+        delta, d, "doc_id", "text", corpus_index=idx
+    )
+    p = plan_of(out)
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "Window" not in p
+
+
+def test_pattern_cap_two_phase_salted_windows(spark):
+    """C23: the trap-guard cap must run as the two-phase salted window
+    — phase 1 partitioned by (host, path, host_salt) so one hot
+    pattern never serializes a single window partition, phase 2 by
+    (host, path) over the bounded survivors — and the prior join must
+    not broadcast-assume or go quadratic."""
+    from crawlspark.operators import schedule
+
+    novel = spark.range(100).select(
+        F.lit("h").alias("host"), F.lit("/p").alias("path"),
+        (F.col("id") % 8).cast("int").alias("host_salt"),
+        F.col("id").alias("batch_pos"),
+        F.lit(0).alias("span_pos"), F.lit(0).alias("link_pos"),
+    )
+    prior = spark.createDataFrame(
+        [("h", "/p", 1)], "host string, path string, n_admitted long"
+    )
+    import re
+
+    p = plan_of(schedule.pattern_cap(novel, prior, 3))
+    windows = [l for l in p.splitlines() if re.match(r"^\(\d+\) Window", l)]
+    assert len(windows) == 2, p
+    # phase 1 (the deeper node, listed first in the details) salts
+    first_detail = p.split(windows[0])[1]
+    assert "host_salt" in first_detail.split("(")[0] + first_detail[:400]
+    assert "CartesianProduct" not in p
