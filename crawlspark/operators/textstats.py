@@ -282,6 +282,41 @@ def mixture_sample(
     )
 
 
+# P29: PII patterns — kept to the regex subset Java (Spark) and RE2
+# (DuckDB) treat identically, so the oracle replays the scrub bit-exact
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """P29 PII scrubbing: redact emails, phone numbers, and IPv4
+    addresses to typed placeholder tokens and report per-doc match
+    counts — the compliance pass every training corpus runs before
+    packing.
+
+    Order matters and is fixed (email → phone → ipv4) so a phone-like
+    substring inside an already-redacted email can't double-fire; each
+    count is taken BEFORE that pattern's own replacement. Pure JVM
+    regexp column math — narrow, zero shuffles, linear in corpus
+    bytes; the patterns stay in the Java∩RE2 regex subset so the
+    DuckDB oracle replays the scrub byte-for-byte."""
+    out = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all("t", F.lit(pat), F.lit(0)))
+            .cast("long"),
+        ).withColumn("t", F.regexp_replace("t", pat, f"<{kind.upper()}>"))
+    return out.select(
+        F.col("id").alias(id_col),
+        *[F.col(f"n_{k}") for k in PII_PATTERNS],
+        F.col("t").alias("text_scrubbed"),
+    )
+
+
 def boilerplate_detect(
     df: DataFrame,
     id_col: str,

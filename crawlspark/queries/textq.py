@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import textstats
-from ..portable import md5hash60_sql
+from ..portable import md5hash60, md5hash60_sql
 from .relational import T
 
 _H = md5hash60_sql
@@ -471,6 +471,62 @@ FROM d, UNNEST(range(1, n + 1)) AS u(epoch)
 """
 
 
+def q74_pii_scrub(spark, sf):
+    """P29 PII scrubbing: plant deterministic PII (an email, a phone,
+    or an IP on 3 of every 4 docs, hash-picked) then redact to typed
+    tokens with per-doc counts. The planted text is built identically
+    in both engines, so the byte-level scrub result and every count
+    replay exactly."""
+    d = T(spark, sf, "documents")
+    sel = F.pmod(md5hash60("doc_id"), F.lit(4))
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.trim("text"),
+            F.when(sel == 0, F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ))
+            .when(sel == 1, F.lit(" call 555-867-5309 today"))
+            .when(sel == 2, F.lit(" served from 10.1.2.3 fast"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.pii_scrub(planted, "doc_id", "text")
+
+
+_EM = textstats.PII_PATTERNS["email"]
+_PH = textstats.PII_PATTERNS["phone"]
+_IP = textstats.PII_PATTERNS["ipv4"]
+
+SQL74 = f"""
+WITH planted AS (
+  SELECT doc_id,
+         trim(text) || CASE ({_H("doc_id")} % 4)
+           WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now'
+           WHEN 1 THEN ' call 555-867-5309 today'
+           WHEN 2 THEN ' served from 10.1.2.3 fast'
+           ELSE '' END AS t
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{_EM}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '{_EM}', '<EMAIL>', 'g') AS t
+  FROM planted),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '{_PH}')) AS BIGINT) AS n_phone,
+         regexp_replace(t, '{_PH}', '<PHONE>', 'g') AS t
+  FROM s1)
+SELECT doc_id, n_email, n_phone,
+       CAST(len(regexp_extract_all(t, '{_IP}')) AS BIGINT) AS n_ipv4,
+       regexp_replace(t, '{_IP}', '<IPV4>', 'g') AS text_scrubbed
+FROM s2
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -484,6 +540,7 @@ QUERIES = {
     "q58_seq_packing": q58_seq_packing,
     "q66_boilerplate": q66_boilerplate,
     "q69_mixture": q69_mixture,
+    "q74_pii_scrub": q74_pii_scrub,
 }
 
 ORACLE = {
@@ -499,4 +556,5 @@ ORACLE = {
     "q44_media_meta": SQL44,
     "q66_boilerplate": SQL66,
     "q69_mixture": SQL69,
+    "q74_pii_scrub": SQL74,
 }
