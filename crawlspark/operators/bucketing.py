@@ -18,6 +18,7 @@ side, never the 10^10-row seen set.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -51,3 +52,63 @@ def colocated_anti_join(
     scan-local (no Exchange over it — asserted in tests/test_plans.py)."""
     seen = spark.table(seen_table)
     return candidates.join(seen.select(*keys), keys, "left_anti")
+
+
+def shard_plan(
+    df: DataFrame, id_col: str, text_col: str, target_bytes: int
+) -> DataFrame:
+    """R26 sharded export plan: assign every row a deterministic shard
+    id sized so each shard carries ~``target_bytes`` of text, and
+    return the per-shard manifest (shard_id, n_docs, n_bytes) a
+    dataloader consumes.
+
+    Real training pipelines read fixed-size shards (a few hundred MB),
+    not one giant or a million tiny files. Shard count = ceil(total
+    bytes / target); assignment = md5-60(id) mod n_shards — DETERMINISTIC
+    (same rows land in the same shard under any partitioning, retry, or
+    cluster size, and the DuckDB oracle replays the manifest exactly),
+    unlike repartition()'s round-robin. Two scans (one tiny agg for the
+    total, one for the write/manifest) — at 100 TB the first is a
+    column-pruned sum of lengths, and the shard column feeds
+    partitionBy/repartition so each shard writes as one file.
+    """
+    from ..portable import md5hash60
+
+    total = df.agg(
+        F.sum(F.octet_length(F.col(text_col))).alias("b")
+    ).collect()[0]["b"] or 0
+    n_shards = max(1, -(-int(total) // target_bytes))
+    return (
+        df.withColumn(
+            "shard_id", F.pmod(md5hash60(id_col), F.lit(n_shards)).cast("int")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.octet_length(F.col(text_col))).cast("long").alias("n_bytes"),
+        )
+    )
+
+
+def write_sharded(
+    df: DataFrame, path: str, id_col: str, text_col: str, target_bytes: int
+) -> int:
+    """R26: materialize the sharded export — one parquet directory per
+    shard via partitionBy(shard_id), deterministic membership per
+    :func:`shard_plan`. Returns the shard count."""
+    from ..portable import md5hash60
+
+    total = df.agg(
+        F.sum(F.octet_length(F.col(text_col))).alias("b")
+    ).collect()[0]["b"] or 0
+    n_shards = max(1, -(-int(total) // target_bytes))
+    out = df.withColumn(
+        "shard_id", F.pmod(md5hash60(id_col), F.lit(n_shards)).cast("int")
+    )
+    (
+        out.repartition(n_shards, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return n_shards

@@ -527,6 +527,32 @@ FROM s2
 """
 
 
+def q75_shard_manifest(spark, sf):
+    """R26 sharded corpus export: the per-shard manifest for a
+    16 KiB-target sharding of `documents`. Shard membership is
+    md5-60(id) mod n_shards — deterministic under any partitioning or
+    retry, so the manifest (and the files write_sharded lays down)
+    replay exactly; n_shards = ceil(total text bytes / target)."""
+    from ..operators import bucketing
+
+    return bucketing.shard_plan(
+        T(spark, sf, "documents"), "doc_id", "text", target_bytes=16384
+    )
+
+
+SQL75 = f"""
+WITH tot AS (
+  SELECT greatest(1, CAST(ceil(sum(octet_length(encode(text))) / 16384.0)
+                     AS BIGINT)) AS n
+  FROM documents)
+SELECT CAST(({_H("doc_id")} % tot.n) AS INT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+FROM documents, tot
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -541,6 +567,7 @@ QUERIES = {
     "q66_boilerplate": q66_boilerplate,
     "q69_mixture": q69_mixture,
     "q74_pii_scrub": q74_pii_scrub,
+    "q75_shard_manifest": q75_shard_manifest,
 }
 
 ORACLE = {
@@ -557,4 +584,5 @@ ORACLE = {
     "q66_boilerplate": SQL66,
     "q69_mixture": SQL69,
     "q74_pii_scrub": SQL74,
+    "q75_shard_manifest": SQL75,
 }

@@ -485,3 +485,30 @@ def test_mixture_sample_deterministic_and_weighted(spark):
         assert a == b
     finally:
         out.unpersist()
+
+
+# -- R26 sharded export: deterministic membership, real files -------------
+
+def test_write_sharded_matches_plan(spark, tmp_path):
+    from crawlspark.operators import bucketing
+    from crawlspark.queries.relational import T
+
+    d = T(spark, "/root/testdata/sf0.001", "documents")
+    plan = {
+        r["shard_id"]: (r["n_docs"], r["n_bytes"])
+        for r in bucketing.shard_plan(d, "doc_id", "text", 8192).collect()
+    }
+    n = bucketing.write_sharded(d, str(tmp_path / "out"), "doc_id", "text", 8192)
+    assert set(plan) <= set(range(n))
+    back = spark.read.parquet(str(tmp_path / "out"))
+    got = {
+        r["shard_id"]: (r["n_docs"], r["n_bytes"])
+        for r in back.groupBy("shard_id").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+        ).collect()
+    }
+    assert got == plan
+    # one directory per shard on disk
+    dirs = {p.name for p in (tmp_path / "out").iterdir() if p.name.startswith("shard_id=")}
+    assert len(dirs) == len(plan)
