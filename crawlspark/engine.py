@@ -798,9 +798,11 @@ class CrawlEngine:
         the ordering contract stays monotone and the re-fetch competes
         in the next cycle's batch by (score, seq) like any discovery.
         URLs on hosts outside host_config are dropped by the robots
-        join, exactly as discovered links are. Seq assignment is a
-        single-partition window — reseed lists are operator-issued and
-        small; bulk re-crawls should loop in bounded chunks."""
+        join, exactly as discovered links are. Seq assignment ranks
+        the lexicographic url_norm order: a window task for
+        operator-sized lists, the same fully-distributed two-phase
+        rank as C18 when a bulk revisit() re-queues more than ~64k
+        URLs — no single-partition funnel at web scale."""
         if not isinstance(urls, DataFrame):
             urls = self.spark.createDataFrame([(u,) for u in urls], "url string")
         urls = urls.persist()
@@ -819,22 +821,22 @@ class CrawlEngine:
         f = schedule.with_salt(f, self.cfg.n_salt)
         f = f.withColumn("depth", F.lit(0))
         f = schedule.with_score(f)
+        pre = f.persist()
+        n = pre.count()
+        if n == 0:
+            pre.unpersist()
+            urls.unpersist()
+            return {"reseeded": 0}
+        f = schedule.rank_seq(
+            pre, self.max_seq, ["url_norm"],
+            distributed=n > schedule.SMALL_BATCH_MAX,
+        )
         f = (
-            f.withColumn(
-                "seq",
-                (F.row_number().over(Window.orderBy("url_norm"))
-                 + F.lit(self.max_seq)).cast("long"),
-            )
-            .withColumn("discovered_from", F.lit(None).cast("string"))
+            f.withColumn("discovered_from", F.lit(None).cast("string"))
             .withColumn("cycle_id", F.lit(cyc).cast("long"))
             .withColumn("part", self._part())
         )
         rows = f.select(*FRONTIER_COLS, "part").persist()
-        n = rows.count()
-        if n == 0:
-            rows.unpersist()
-            urls.unpersist()
-            return {"reseeded": 0}
         seen_delta = rows.select(
             "url_hash", "url_norm",
             F.lit(cyc).cast("long").alias("first_cycle"), "part",
@@ -855,7 +857,9 @@ class CrawlEngine:
         )
         self._mirror_append(rows, new_snap)
         rows.unpersist()
+        pre.unpersist()
         urls.unpersist()
+        schedule.release_scratch()
         return {"reseeded": n}
 
     def revisit(self, min_age: int) -> dict:

@@ -124,33 +124,30 @@ def global_schedule(capped: DataFrame, batch_size: int) -> DataFrame:
 _SEQ_ORDER = ["batch_pos", "span_pos", "link_pos"]
 
 
-def assign_seq(novel: DataFrame, base_seq: int, distributed: bool = False) -> DataFrame:
-    """C18: deterministic FIFO sequence for this cycle's discoveries.
+def rank_seq(
+    df: DataFrame, base_seq: int, order_cols: list[str],
+    distributed: bool = False,
+) -> DataFrame:
+    """Deterministic dense rank → ``seq`` over a total order.
 
-    Arrival order is defined by (parent batch_pos, span_pos, link_pos)
-    — exactly the order a serial worker draining the batch would have
-    enqueued them; the triple is unique post-dedup, so the order is
-    total and the result parallelism-independent.
-
-    Small cycles (B ≤ a few k) rank through one window task — fine for
-    ≤ ~64k discoveries. Large cycles (millions of discoveries at
-    production batch sizes) use the same fully-distributed two-phase
-    rank as :func:`global_schedule`: range-partition on the order key,
-    collect only per-partition row COUNTS, then
+    Small inputs rank through one window task. Large inputs use the
+    same fully-distributed two-phase rank as :func:`global_schedule`:
+    range-partition on the order key, collect only per-partition row
+    COUNTS (driver sees P integers, never rows), then
     seq = base + partition offset + local row_number — no
-    single-partition funnel anywhere. Both paths produce identical seq
-    (equality-tested in tests/test_properties.py).
-    """
+    single-partition funnel anywhere. Both paths produce identical
+    seq because the order is total (equality-tested in
+    tests/test_properties.py)."""
     if not distributed:
-        w = Window.orderBy(*_SEQ_ORDER)
-        return novel.withColumn(
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(
             "seq", (F.lit(base_seq) + F.row_number().over(w)).cast("long")
         )
 
-    spark = novel.sparkSession
+    spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     ranged = (
-        novel.repartitionByRange(n_part, *[F.col(c) for c in _SEQ_ORDER])
+        df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -167,7 +164,7 @@ def assign_seq(novel: DataFrame, base_seq: int, distributed: bool = False) -> Da
         [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
         "_pid int, _off long",
     )
-    w = Window.partitionBy("_pid").orderBy(*_SEQ_ORDER)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         ranged.join(F.broadcast(off_df), "_pid")
         .withColumn(
@@ -176,6 +173,18 @@ def assign_seq(novel: DataFrame, base_seq: int, distributed: bool = False) -> Da
         )
         .drop("_pid", "_off")
     )
+
+
+def assign_seq(novel: DataFrame, base_seq: int, distributed: bool = False) -> DataFrame:
+    """C18: deterministic FIFO sequence for this cycle's discoveries.
+
+    Arrival order is defined by (parent batch_pos, span_pos, link_pos)
+    — exactly the order a serial worker draining the batch would have
+    enqueued them; the triple is unique post-dedup, so the order is
+    total and the result parallelism-independent. Delegates to
+    :func:`rank_seq` (window path ≤ ~64k, two-phase distributed rank
+    above)."""
+    return rank_seq(novel, base_seq, _SEQ_ORDER, distributed)
 
 
 def pattern_cap(novel: DataFrame, prior: DataFrame, budget: int) -> DataFrame:

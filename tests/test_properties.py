@@ -512,3 +512,22 @@ def test_write_sharded_matches_plan(spark, tmp_path):
     # one directory per shard on disk
     dirs = {p.name for p in (tmp_path / "out").iterdir() if p.name.startswith("shard_id=")}
     assert len(dirs) == len(plan)
+
+
+def test_rank_seq_distributed_equals_window_on_urlnorm(spark):
+    """Reseed's lexicographic rank must be identical on both paths —
+    the window task an operator-sized list takes and the two-phase
+    distributed rank a bulk revisit() takes."""
+    rows = [(f"http://h{i % 37}.example.com/p{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "url_norm string").repartition(16)
+    a = {
+        r["url_norm"]: r["seq"]
+        for r in schedule.rank_seq(df, 100, ["url_norm"], distributed=False).collect()
+    }
+    b = {
+        r["url_norm"]: r["seq"]
+        for r in schedule.rank_seq(df, 100, ["url_norm"], distributed=True).collect()
+    }
+    schedule.release_scratch()
+    assert a == b
+    assert sorted(a.values()) == list(range(101, 101 + len(rows)))
