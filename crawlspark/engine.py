@@ -250,13 +250,19 @@ class CrawlEngine:
         f0 = schedule.with_salt(f0, self.cfg.n_salt)
         f0 = f0.withColumn("depth", F.lit(0))
         f0 = schedule.with_score(f0)
+        # seed seq = seed-list position; rank distributed above ~64k
+        # seeds (DESIGN-tier seed lists are 300k+ — same no-funnel
+        # posture as cycle discoveries and bulk reseeds)
+        pre0 = f0.persist()
+        n_seeds = pre0.count()
+        f0 = schedule.rank_seq(
+            pre0, 0, ["pos"], distributed=n_seeds > schedule.SMALL_BATCH_MAX
+        )
         f0 = (
-            f0.withColumn("seq", F.row_number().over(Window.orderBy("pos")).cast("long"))
-            .withColumn("discovered_from", F.lit(None).cast("string"))
+            f0.withColumn("discovered_from", F.lit(None).cast("string"))
             .withColumn("cycle_id", F.lit(0).cast("long"))
         )
         frontier0 = f0.select(*FRONTIER_COLS).persist()
-        n_seeds = frontier0.count()
         self.max_seq = n_seeds
 
         seen0 = frontier0.select(
@@ -292,6 +298,8 @@ class CrawlEngine:
         txn.append("metrics", m0)
         snap = txn.commit(cycle_id=0, meta={"n_seeds": n_seeds, "max_seq": n_seeds})
         frontier0.unpersist()
+        pre0.unpersist()
+        schedule.release_scratch()
         return snap
 
     # -- one micro-cycle --------------------------------------------------------
