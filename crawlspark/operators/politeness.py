@@ -103,3 +103,33 @@ def latest_host_state(host_state: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def backoff_caps(sched: DataFrame, host_config: DataFrame) -> DataFrame:
+    """C27 adaptive politeness backoff: per-host fetch failure rate
+    over the attempt log → the next per-cycle token cap, by exact
+    rule (≥ 1/4 of attempts failed → halve the cap, floor 1.0; else
+    keep). A host throwing errors is a host asking to be crawled
+    slower — the 429/5xx backoff a live crawler must implement. Feed
+    the result through ``CrawlEngine.update_politeness`` (new
+    host_config with ``new_cap`` as token_capacity) to apply mid-crawl.
+
+    Scale shape: one partial-aggregated groupBy over the scheduled
+    log + a broadcast join on the per-host config — a rare maintenance
+    scan like revisit(), never per-cycle."""
+    agg = sched.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_attempts"),
+        F.sum((~F.col("ok")).cast("int")).cast("long").alias("n_fail"),
+    )
+    hc = host_config.select("host", F.col("token_capacity").alias("cap"))
+    return agg.join(F.broadcast(hc), "host").select(
+        "host", "n_attempts", "n_fail",
+        F.round(F.col("n_fail") / F.col("n_attempts"), 6).alias("fail_ratio"),
+        "cap",
+        F.when(
+            4 * F.col("n_fail") >= F.col("n_attempts"),
+            F.greatest(F.lit(1.0), F.col("cap") / 2),
+        )
+        .otherwise(F.col("cap"))
+        .alias("new_cap"),
+    )

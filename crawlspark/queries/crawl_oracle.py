@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 9
+_VERSION = 10
 
 
 def _md5_60(s: str) -> int:
@@ -188,6 +188,21 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
         else:
             nxt = base
         q72.append((h, n_ref, n_chg, _round6_half_up(n_chg / n_ref), nxt))
+    # q76: adaptive politeness backoff — per-host fetch failure rate
+    # over the whole crawl and the next token cap by exact rule
+    # (≥ 1/4 of attempts failed → halve the cap, floor 1.0)
+    caps = {cfg.host(i): cfg.token_capacity(i) for i in range(cfg.n_sites)}
+    att: dict[str, list] = {}
+    for (_c, _p, _u, host, _sc, _sq, _d, _a, ok) in res.order:
+        att.setdefault(host, []).append(ok)
+    q76 = []
+    for h, oks in sorted(att.items()):
+        n_att, n_fail = len(oks), sum(1 for ok in oks if not ok)
+        cap = caps[h]
+        new_cap = max(1.0, cap / 2) if 4 * n_fail >= n_att else cap
+        q76.append(
+            (h, n_att, n_fail, _round6_half_up(n_fail / n_att), cap, new_cap)
+        )
     by_ch: dict[tuple, list] = {}
     for (c, pos, _u, host, _sc, _sq, _d, _att, ok) in res.order:
         by_ch.setdefault((c, host), []).append((pos, ok))
@@ -267,6 +282,12 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
             " change_ratio double, next_interval int64",
             q72,
         ),
+        "q76_backoff": (
+            ["host", "n_attempts", "n_fail", "fail_ratio", "cap", "new_cap"],
+            "host string, n_attempts int64, n_fail int64,"
+            " fail_ratio double, cap double, new_cap double",
+            q76,
+        ),
     }
 
 
@@ -280,6 +301,7 @@ _NAMES = [
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
     "q86_frame_sample", "q93_crawl_stream_rates", "q67_trap_guard",
     "q68_redirects", "q71_revisit_versions", "q72_change_rates",
+    "q76_backoff",
 ]
 
 

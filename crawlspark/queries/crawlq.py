@@ -306,6 +306,20 @@ def q73_sitemap_seen(spark, sf):
     return _engine_smap(spark).seen_set()
 
 
+def q76_backoff(spark, sf):
+    """C27 adaptive politeness backoff through the driver's harness:
+    per-host failure rate over the UNIT crawl's attempt log and the
+    next token cap by exact rule (≥ 1/4 failed → halve, floor 1.0).
+    Reuses the memoized UNIT engine; the refsim recomputes the same
+    rates from its own order log and the shared per-host capacities."""
+    from ..operators import politeness
+
+    eng = _engine(spark)
+    return politeness.backoff_caps(
+        eng.cat.read("scheduled"), eng.cat.read("host_config")
+    )
+
+
 def _engine_forgotten(spark) -> CrawlEngine:
     """UNIT crawl (cuckoo sidecar) with the 5 lexicographically-first
     seen URLs forgotten after completion — memoized post-forget."""
@@ -363,6 +377,7 @@ QUERIES = {
     "q71_revisit_versions": q71_revisit_versions,
     "q72_change_rates": q72_change_rates,
     "q73_sitemap_seen": q73_sitemap_seen,
+    "q76_backoff": q76_backoff,
     "q87_cuckoo_seen": q87_cuckoo_seen,
     "q88_forget_recrawl": q88_forget_recrawl,
     "q89_time_travel": q89_time_travel,

@@ -531,3 +531,25 @@ def test_rank_seq_distributed_equals_window_on_urlnorm(spark):
     schedule.release_scratch()
     assert a == b
     assert sorted(a.values()) == list(range(101, 101 + len(rows)))
+
+
+def test_backoff_caps_rule(spark):
+    """C27: the backoff decision must follow the exact 1/4 threshold
+    with the 1.0 floor, per host."""
+    from crawlspark.operators import politeness
+
+    sched = spark.createDataFrame(
+        [("a", True)] * 3 + [("a", False)]          # exactly 1/4 -> halve
+        + [("b", True)] * 4 + [("b", False)]        # 1/5 -> keep
+        + [("c", False)] * 2,                       # all fail -> halve, floor
+        "host string, ok boolean",
+    )
+    hc = spark.createDataFrame(
+        [("a", 6.0), ("b", 6.0), ("c", 1.5)],
+        "host string, token_capacity double",
+    )
+    got = {
+        r["host"]: (r["n_fail"], r["new_cap"])
+        for r in politeness.backoff_caps(sched, hc).collect()
+    }
+    assert got == {"a": (1, 3.0), "b": (1, 6.0), "c": (2, 1.0)}
