@@ -12,8 +12,8 @@ Scale design: brute force is O(|Q|·|N|·d) — fine for |Q| small
 vectors by the sign pattern of P seeded hyperplane projections; the
 join shuffles on bucket id only, and candidate count per query is
 |N| / 2^P in expectation. Recall is tunable via P, multi-probe
-(``ann_lsh_multiprobe``, q62), or band-OR amplification
-(``ann_lsh_banded``, q63 — the production recall config, see
+(``ann_topk(multiprobe=True)``, q62), or band-OR amplification
+(``ann_topk_banded``, q63 — the production recall config, see
 BENCH/ANN_RECALL.md).
 """
 
