@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 10
+_VERSION = 11
 
 
 def _md5_60(s: str) -> int:
@@ -203,6 +203,20 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
         q76.append(
             (h, n_att, n_fail, _round6_half_up(n_fail / n_att), cap, new_cap)
         )
+    # q77: PageRank-fed priority refresh — host authority = its best
+    # page's damped rank (max is float-addition-order-insensitive,
+    # unlike sum, so Spark partial aggregation replays it exactly);
+    # new site_priority = the host's quintile in (-authority, host)
+    # order, feeding update_politeness
+    pr_by_h: dict[str, float] = {}
+    for u, r in q85:
+        h = urlsplit(u).hostname
+        pr_by_h[h] = max(pr_by_h.get(h, float("-inf")), r)
+    pr_order = sorted(pr_by_h.items(), key=lambda kv: (-kv[1], kv[0]))
+    q77 = [
+        (h, pr_max, (5 * i) // len(pr_order))
+        for i, (h, pr_max) in enumerate(pr_order)
+    ]
     by_ch: dict[tuple, list] = {}
     for (c, pos, _u, host, _sc, _sq, _d, _att, ok) in res.order:
         by_ch.setdefault((c, host), []).append((pos, ok))
@@ -288,6 +302,11 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
             " fail_ratio double, cap double, new_cap double",
             q76,
         ),
+        "q77_priority_feedback": (
+            ["host", "pr_max", "new_priority"],
+            "host string, pr_max double, new_priority int64",
+            q77,
+        ),
     }
 
 
@@ -301,7 +320,7 @@ _NAMES = [
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
     "q86_frame_sample", "q93_crawl_stream_rates", "q67_trap_guard",
     "q68_redirects", "q71_revisit_versions", "q72_change_rates",
-    "q76_backoff",
+    "q76_backoff", "q77_priority_feedback",
 ]
 
 

@@ -121,6 +121,44 @@ def q85_pagerank(spark, sf):
     return graph.pagerank(edges, damping=0.85, iterations=6)
 
 
+def q77_priority_feedback(spark, sf):
+    """PageRank-fed priority refresh (the quality feedback loop into
+    C8 scoring): host authority = its best page's damped rank — max,
+    not sum, because max is float-addition-order-insensitive and so
+    replays exactly under Spark partial aggregation — and the new
+    site_priority is the host's quintile in (-authority, host) order.
+    The output is exactly the shape update_politeness consumes to
+    re-score the frontier mid-crawl. Host ranking goes through
+    rank_seq (distributed above 64k hosts — 10^7 hosts at web scale
+    never funnel one window task)."""
+    from ..operators import graph, schedule
+
+    edges = (
+        _engine(spark).cat.read("edges").select("src", "dst").distinct()
+    )
+    hosts = (
+        graph.pagerank(edges, damping=0.85, iterations=6)
+        .withColumn("host", F.parse_url("id", F.lit("HOST")))
+        .groupBy("host")
+        .agg(F.max("rank").alias("pr_max"))
+        .localCheckpoint(eager=True)
+    )
+    n = hosts.count()
+    ranked = schedule.rank_seq(
+        hosts.withColumn("pr_neg", -F.col("pr_max")), 0,
+        ["pr_neg", "host"],
+        distributed=n > schedule.SMALL_BATCH_MAX,
+    )
+    # NOTE: callers that take the distributed rank path must
+    # materialize before schedule.release_scratch(); the harness's
+    # host counts are far below the threshold, so no scratch exists
+    return ranked.select(
+        "host", "pr_max",
+        F.floor(F.lit(5) * (F.col("seq") - 1) / F.lit(n))
+        .cast("long").alias("new_priority"),
+    )
+
+
 def q87_cuckoo_seen(spark, sf):
     """The same crawl run with the CUCKOO seen-sidecar (EngineConfig
     seen_sidecar='cuckoo', operators/cuckoo.py) must land the exact
@@ -378,6 +416,7 @@ QUERIES = {
     "q72_change_rates": q72_change_rates,
     "q73_sitemap_seen": q73_sitemap_seen,
     "q76_backoff": q76_backoff,
+    "q77_priority_feedback": q77_priority_feedback,
     "q87_cuckoo_seen": q87_cuckoo_seen,
     "q88_forget_recrawl": q88_forget_recrawl,
     "q89_time_travel": q89_time_travel,
