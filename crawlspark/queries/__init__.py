@@ -27,45 +27,53 @@ _MODULES = [relational, textq, dedupq, simq, streamq, crawlq]
 # listed here or not — runs under tools/check_oracle.py, whose full
 # per-round report is committed (BENCH/ORACLE_REPORT_r*.txt).
 _WINDOW = [
-    # crawl engine (C1–C19 composed; the north-star contract), plus
-    # the engine-feature contracts: q88 forget()+cuckoo sidecar, q89
-    # snapshot time travel (both refsim-oracle-checked)
+    # crawl engine (C1–C19 composed; the north-star contract) + every
+    # engine-feature contract: forget+cuckoo sidecar, time travel,
+    # trap guard, redirects, reseed (C21, new r4), robots-declared
+    # nested sitemaps (C26 ext, new r4), revisit/change-rates,
+    # flat sitemaps, backoff, authority feedback, frame sampling —
+    # the r3-tail crawl components rotate IN this round
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
     "q88_forget_recrawl", "q89_time_travel", "q67_trap_guard",
-    "q68_redirects",
-    # streaming S1–S6, plus the crawl-stream wrapper (S1 applied to
-    # the engine's own frontier/metrics deltas)
+    "q68_redirects", "q78_reseed", "q79_sitemap_index",
+    "q71_revisit_versions", "q72_change_rates", "q73_sitemap_seen",
+    "q76_backoff", "q77_priority_feedback", "q86_frame_sample",
+    # streaming S1–S7 (q94 streaming dedup rotates in)
     "q90_stream_window_rates", "q91_stream_sessions",
     "q92_stream_token_buckets", "q93_crawl_stream_rates",
+    "q94_stream_distinct",
     # similarity P7–P8: one slot per distinct method — exact baseline,
     # band-OR LSH (the production recall config), IVF coarse-quantizer.
     # The single-table LSH (q61) and multi-probe (q62) variants stay
     # registered in the tail.
     "q60_cosine_topk", "q63_ann_banded", "q64_ann_ivf",
-    # dedup P1–P6, P17 + embedding-cosine near-dups (q57)
-    "q56_dedup_clusters", "q50_exact_dedup", "q51_minhash_sig",
-    "q52_near_dup_pairs", "q53_simhash", "q54_simhash_pairs",
-    "q55_chargram_pairs", "q57_embed_near_dups",
-    # text pipeline P9–P13 + LM-quality scoring (P22), paragraph/chunk
-    # dedup (P25), exact percentiles (R25)
+    # dedup P1–P6, P17, P25, P28 + embedding-cosine near-dups. The
+    # signature-intermediate variants (q51 minhash sigs, q53 simhash,
+    # q55 chargram Jaccard) rotate to the tail: their machinery runs
+    # in-window inside the pair queries (q52 recomputes shingle
+    # Jaccard for verify, q54 computes simhash), and each kept hard
+    # rows in r2+r3
+    "q56_dedup_clusters", "q50_exact_dedup", "q52_near_dup_pairs",
+    "q54_simhash_pairs", "q57_embed_near_dups", "q59_chunk_dedup",
+    "q70_incremental_dedup",
+    # text pipeline P9–P12 + the r3-tail P components rotating in:
+    # repetition (P20), decontamination (P21), BM25 (P23), packing
+    # (P24), boilerplate (P26), mixture (P27), PII (P29), shard
+    # export (R26); LM quality (P22) and percentiles (R25) stay.
+    # q44 media-meta rotates out (P13's multimodal path runs
+    # in-window via q84/q86; hard rows r2+r3)
     "q40_token_stats", "q41_quality", "q42_lang_id", "q43_fingerprint",
-    "q44_media_meta", "q48_lm_quality", "q59_chunk_dedup",
-    "q65_percentiles",
-    # relational surface, one per operator (R1–R23 + §2.3 families)
-    "q01_pricing_summary", "q03_revenue_by_nation",
-    # (tail moves, each §2 row still evidenced in-window — rationale
-    # per-query in README "Query registry ordering": q02→q28/q29
-    # project/cast, q04→q01 hash agg, q05→q26 anti join, q17→q30
-    # array HOFs, q07→q03 shuffle join, q06/q09/q19 from r2)
-    "q08_region_status_grid", "q10_group_families",
-    "q12_top_orders_per_cust", "q13_running_total", "q14_topk_orders",
-    "q15_setops", "q18_doc_pivot",
-    "q20_json_props", "q25_asof_orders", "q26_bucketed_antijoin",
-    "q28_string_funcs", "q29_date_funcs", "q30_array_funcs",
-    "q31_map_funcs", "q35_semi_scan",
-    # (q32 conditionals → tail: CASE/if expressions run in-window
-    # inside q42's language-ID argmax chain)
+    "q46_repetition", "q47_contamination", "q48_lm_quality",
+    "q49_bm25", "q58_seq_packing", "q65_percentiles",
+    "q66_boilerplate", "q69_mixture", "q74_pii_scrub",
+    "q75_shard_manifest",
+    # relational representatives: the shuffle/broadcast join chain
+    # (R6/R7), the as-of join (P15/R10), the bucketed anti-join
+    # (P18/R8). The 14 relational rows hard-green in BOTH r2 and r3
+    # (q01/q08/q10/q12/q13/q14/q15/q18/q20/q28–q31/q35) rotate to the
+    # tail to make room — still full-registry-checked every round
+    "q03_revenue_by_nation", "q25_asof_orders", "q26_bucketed_antijoin",
 ]
 
 

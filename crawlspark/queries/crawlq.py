@@ -344,6 +344,74 @@ def q73_sitemap_seen(spark, sf):
     return _engine_smap(spark).seen_set()
 
 
+def _engine_reseed(spark) -> CrawlEngine:
+    """UNIT_RESEED scenario: 4 discovery cycles, then the 5
+    lexicographically-first seen URLs are actively re-crawled via
+    reseed() (forget + depth-0 re-inject), then cycles 5-10 run."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-reseed"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_RESEED
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_RESEED, warehouse=wh))
+        eng.run(max_cycles=UNIT_RESEED.reseed_after)
+        victims = [
+            r["url_norm"]
+            for r in eng.seen_set().orderBy("url_norm")
+            .limit(UNIT_RESEED.reseed_k).collect()
+        ]
+        assert eng.reseed(victims)["reseeded"] == UNIT_RESEED.reseed_k
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q78_reseed(spark, sf):
+    """C21 active re-crawl through the driver's harness: the FULL
+    fetch-attempt order of the reseed scenario. The reseeded URLs must
+    drop their old identity, re-enter at depth 0 with strictly-new
+    seqs assigned in lexicographic order, compete under normal
+    (score, seq) scheduling and politeness caps, and retry from
+    attempt 1 — any divergence shifts a row. Oracle: the refsim
+    replays the same scripted reseed sequentially (crawl_oracle.py
+    over UNIT_RESEED)."""
+    return _engine_reseed(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host",
+        "score", "seq", "depth", "attempt", "ok"
+    )
+
+
+def _engine_smapidx(spark) -> CrawlEngine:
+    """UNIT_SMAPIDX crawl: sitemaps declared via robots.txt `Sitemap:`
+    directives (no operator sitemap seeds) and shaped as nested
+    <sitemapindex> → /sitemap-{k}.xml children → page <urlset>s."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-smapidx"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_SMAPIDX
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_SMAPIDX, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q79_sitemap_index(spark, sf):
+    """C26 extension through the driver's harness: the final seen set
+    of the robots-declared nested-sitemap crawl. Divergence in the
+    `Sitemap:` directive parse (robots.parse_sitemaps), the
+    <sitemapindex> fan-out, or child-<urlset> admission (orphan pages
+    have no other route in) shifts rows; the refsim replays the same
+    seeds and shared <loc> extraction sequentially."""
+    return _engine_smapidx(spark).seen_set()
+
+
 def q76_backoff(spark, sf):
     """C27 adaptive politeness backoff through the driver's harness:
     per-host failure rate over the UNIT crawl's attempt log and the
@@ -417,6 +485,8 @@ QUERIES = {
     "q73_sitemap_seen": q73_sitemap_seen,
     "q76_backoff": q76_backoff,
     "q77_priority_feedback": q77_priority_feedback,
+    "q78_reseed": q78_reseed,
+    "q79_sitemap_index": q79_sitemap_index,
     "q87_cuckoo_seen": q87_cuckoo_seen,
     "q88_forget_recrawl": q88_forget_recrawl,
     "q89_time_travel": q89_time_travel,
@@ -444,4 +514,11 @@ def build_oracle() -> dict[str, str]:
     from ..synth import UNIT_SMAP
 
     sql["q73_sitemap_seen"] = build_crawl_oracles(UNIT_SMAP)["q81_crawl_seen"]
+    # q78: the full fetch-attempt order of the reseed scenario (its
+    # graph's q80 table); q79: the seen set of the robots-declared
+    # nested-sitemap graph (its q81 table)
+    from ..synth import UNIT_RESEED, UNIT_SMAPIDX
+
+    sql["q78_reseed"] = build_crawl_oracles(UNIT_RESEED)["q80_crawl_order"]
+    sql["q79_sitemap_index"] = build_crawl_oracles(UNIT_SMAPIDX)["q81_crawl_seen"]
     return sql

@@ -210,4 +210,26 @@ class RefSim:
                     seen[u] = c
                     seq += 1
                     queued[u] = (0 + prio[host], seq, 0, host)
+            if cfg.reseed_after == c and cfg.reseed_k:
+                # C21 active re-crawl (the engine's reseed()): the k
+                # lexicographically-first seen URLs drop their old
+                # identity (forget: seen row, retry state, any queued
+                # frontier row) and re-inject as depth-0 discoveries
+                # with strictly-new seqs in lexicographic order —
+                # exactly the engine's reseed rank
+                victims = sorted(seen)[: cfg.reseed_k]
+                for u in victims:
+                    seen.pop(u, None)
+                    attempts.pop(u, None)
+                    queued.pop(u, None)
+                for u in victims:
+                    sp = urlsplit(u)
+                    host, path = sp.hostname, sp.path or "/"
+                    if host not in rules:
+                        continue
+                    if not robots_allowed(path, rules[host]):
+                        continue
+                    seen[u] = c
+                    seq += 1
+                    queued[u] = (0 + prio[host], seq, 0, host)
         return res

@@ -113,10 +113,32 @@ def parse_robots(text: str | None, agent: str = DEFAULT_AGENT) -> tuple[list[dic
     return best[1], (best[2][0] if best[2] else None)
 
 
+def parse_sitemaps(text: str | None) -> list[str]:
+    """`Sitemap:` directive URLs, in file order. Per RFC 9309 §2.3 the
+    directive is FILE-GLOBAL — valid anywhere, including before the
+    first User-agent group — so this is a separate whole-file scan,
+    not part of the group grammar above. Absolute URLs only (the spec
+    requires them); relative values are dropped."""
+    if not text or not isinstance(text, str):
+        return []
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            value = value.strip()
+            if "://" in value:
+                out.append(value)
+    return out
+
+
 _PARSED = T.StructType(
     [
         T.StructField("robots_rules", T.ArrayType(ROBOTS_RULE), False),
         T.StructField("crawl_delay_ms", T.LongType(), True),
+        T.StructField("sitemaps", T.ArrayType(T.StringType()), False),
     ]
 )
 
@@ -131,6 +153,7 @@ def _parse_udf(texts: pd.Series) -> pd.DataFrame:
                 for rules, _ in parsed
             ],
             "crawl_delay_ms": [d for _, d in parsed],
+            "sitemaps": [parse_sitemaps(t) for t in texts],
         }
     )
 
@@ -147,5 +170,6 @@ def compile_robots(df: DataFrame, text_col: str = "robots_txt",
             "crawl_delay_ms",
             F.coalesce(F.col("_p.crawl_delay_ms"), F.lit(default_delay_ms)),
         )
+        .withColumn("sitemaps", F.col("_p.sitemaps"))
         .drop("_p")
     )

@@ -95,6 +95,27 @@ class GraphConfig:
     # enter discovery at depth 1 — including ORPHAN pages no link graph
     # path reaches, the discovery source sitemaps exist for.
     sitemaps: bool = False
+    # C26 extensions: sitemap_nested turns /sitemap.xml into a
+    # <sitemapindex> of per-host child sitemaps /sitemap-{k}.xml (the
+    # standard large-site shape) whose <urlset> children then list the
+    # pages — the index fans out through the same shared <loc>
+    # extraction, one level deeper. sitemaps_from_robots drops the
+    # sitemap URLs from the operator seed list and instead declares
+    # them with `Sitemap:` directives in robots.txt (RFC 9309 §2.3 —
+    # the directive is file-global, not group-scoped); both the engine
+    # seed path and the refsim learn them via robots.parse_sitemaps.
+    # robots_all forces a robots.txt onto every host so every declared
+    # sitemap host actually has a file to declare it in.
+    sitemap_nested: bool = False
+    sitemaps_from_robots: bool = False
+    robots_all: bool = False
+    # reseed knobs (C21): after cycle `reseed_after`, the
+    # `reseed_k` lexicographically-first SEEN urls are actively
+    # re-queued — the engine's reseed() (forget + depth-0 re-inject
+    # with strictly-new seqs); the refsim replays the same scripted
+    # action sequentially.
+    reseed_after: int | None = None
+    reseed_k: int = 0
 
     # -- topology ----------------------------------------------------------
 
@@ -122,7 +143,7 @@ class GraphConfig:
         return 100 * (1 + h64(self.seed, "delay", i) % 20)
 
     def has_robots(self, i: int) -> bool:
-        return h64(self.seed, "robots", i) % 3 == 0
+        return self.robots_all or h64(self.seed, "robots", i) % 3 == 0
 
     def robots_txt(self, i: int) -> str | None:
         """The host's actual robots.txt text (None = no file). Includes
@@ -132,9 +153,18 @@ class GraphConfig:
         to the /private prefix rule."""
         if not self.has_robots(i):
             return None
+        # C26: the Sitemap directive sits OUTSIDE any user-agent group
+        # (file-global per RFC 9309 §2.3) — deliberately before the
+        # first group so a group-scoped parser would miss it
+        smap = (
+            f"Sitemap: {self.sitemap_url(i)}\n"
+            if self.sitemaps_from_robots and self.has_sitemap(i)
+            else ""
+        )
         return (
             "# synthetic robots corpus\n"
-            "User-agent: archivebot\n"
+            + smap
+            + "User-agent: archivebot\n"
             "Disallow: /\n"
             "\n"
             "User-agent: *\n"
@@ -212,6 +242,34 @@ class GraphConfig:
             if h64(self.seed, "sloc", i, j) % 3 == 0
         ]
 
+    # nested sitemaps (C26 extension): /sitemap.xml is a
+    # <sitemapindex> of n_sitemap_children child files
+    # /sitemap-{k}.xml; child k carries the pages hash-assigned to it.
+    # Children route as page index SITEMAP_J + 1 + k (still far below
+    # the trap range).
+
+    def n_sitemap_children(self, i: int) -> int:
+        return 2 + h64(self.seed, "nsc", i) % 2
+
+    def sitemap_child_url(self, i: int, k: int) -> str:
+        return f"http://{self.host(i)}/sitemap-{k}.xml"
+
+    def sitemap_child_pages(self, i: int, k: int) -> list[int]:
+        n = self.n_sitemap_children(i)
+        return [
+            j for j in self.sitemap_pages(i)
+            if h64(self.seed, "schild", i, j) % n == k
+        ]
+
+    def declared_sitemaps(self, i: int) -> list[str]:
+        """Sitemap URLs host i declares in robots.txt, read back
+        through the real directive parser (robots.parse_sitemaps) —
+        the engine's seed list and the refsim both consume exactly
+        this round-trip, like robots_rules does for rule lines."""
+        from .robots import parse_sitemaps
+
+        return parse_sitemaps(self.robots_txt(i))
+
     def url_to_page(self, url_norm: str) -> tuple[int, int]:
         """Inverse of page_url over canonical URLs (the fetcher's
         router). Calendar-trap URLs route as (site, -day): the negative
@@ -228,6 +286,9 @@ class GraphConfig:
         m = re.match(r"http://site(\d{4})\.example\.com/sitemap\.xml$", url_norm)
         if m and self.sitemaps:
             return int(m.group(1)), SITEMAP_J
+        m = re.match(r"http://site(\d{4})\.example\.com/sitemap-(\d+)\.xml$", url_norm)
+        if m and self.sitemaps and self.sitemap_nested:
+            return int(m.group(1)), SITEMAP_J + 1 + int(m.group(2))
         raise ValueError(f"not a synthetic page url: {url_norm}")
 
     def outlink_targets(self, i: int, j: int) -> list[str]:
@@ -298,9 +359,25 @@ class GraphConfig:
             # C26: the sitemap document — one text span of <loc>
             # entries; the shared extraction regex captures them like
             # hrefs, so sitemap children ride the normal discovery path
+            if self.sitemap_nested:
+                # <sitemapindex>: the locs are the CHILD sitemap files,
+                # which fan out one discovery level deeper
+                body = "<sitemapindex> " + " ".join(
+                    f"<loc>{self.sitemap_child_url(i, k)}</loc>"
+                    for k in range(self.n_sitemap_children(i))
+                ) + " </sitemapindex>"
+            else:
+                body = "<urlset> " + " ".join(
+                    f"<loc>{self.page_url(i, jj)}</loc>"
+                    for jj in self.sitemap_pages(i)
+                ) + " </urlset>"
+            return [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
+        if self.sitemap_nested and SITEMAP_J < j < SITEMAP_J + 1 + self.n_sitemap_children(i):
+            # C26 nested: child sitemap k's <urlset> over its page slice
+            k = j - SITEMAP_J - 1
             body = "<urlset> " + " ".join(
                 f"<loc>{self.page_url(i, jj)}</loc>"
-                for jj in self.sitemap_pages(i)
+                for jj in self.sitemap_child_pages(i, k)
             ) + " </urlset>"
             return [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
         if j < 0:
@@ -355,14 +432,20 @@ class GraphConfig:
             for i in range(self.n_sites)
             for j in range(min(self.seeds_per_site, self.pages_in_site(i)))
         ]
-        # C26: sitemap URLs seed alongside the page seeds (a real
-        # crawler learns them from robots.txt Sitemap: directives or
-        # operator config; either way they enter as depth-0 seeds)
-        out += [
-            self.sitemap_url(i)
-            for i in range(self.n_sites)
-            if self.has_sitemap(i)
-        ]
+        # C26: sitemap URLs seed alongside the page seeds. Two
+        # discovery routes, both depth-0 seeds: operator config (the
+        # flat default) or robots.txt `Sitemap:` directives, round-
+        # tripped through the real parser (declared_sitemaps →
+        # robots.parse_sitemaps) when sitemaps_from_robots is on.
+        if self.sitemaps_from_robots:
+            for i in range(self.n_sites):
+                out += self.declared_sitemaps(i)
+        else:
+            out += [
+                self.sitemap_url(i)
+                for i in range(self.n_sites)
+                if self.has_sitemap(i)
+            ]
         return out
 
     def total_pages(self) -> int:
@@ -423,6 +506,21 @@ UNIT_REV = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # third of each host's pages, orphans included) enter at depth 1
 UNIT_SMAP = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                         max_cycles=6, sitemaps=True)
+# UNIT graph + the C26 extensions: robots.txt on every host, sitemap
+# hosts declare their sitemap via a file-global `Sitemap:` directive
+# (NOT the operator seed list), and /sitemap.xml is a <sitemapindex>
+# fanning out to 2-3 /sitemap-{k}.xml children whose <urlset>s carry
+# the page locs — one extra discovery level, hence more cycles
+UNIT_SMAPIDX = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                           max_cycles=8, sitemaps=True,
+                           sitemap_nested=True, sitemaps_from_robots=True,
+                           robots_all=True)
+# UNIT graph + a scripted active re-crawl (C21): after cycle 4, the 5
+# lexicographically-first seen URLs are reseeded (forget + depth-0
+# re-inject with strictly-new seqs) and the remaining cycles re-fetch
+# them in normal (score, seq) competition
+UNIT_RESEED = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                          max_cycles=10, reseed_after=4, reseed_k=5)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,

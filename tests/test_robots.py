@@ -123,3 +123,38 @@ def test_compile_robots_dataframe(spark):
     assert out["h1"]["crawl_delay_ms"] == 2500
     assert out["h2"]["crawl_delay_ms"] == 1000 and out["h2"]["robots_rules"] == []
     assert out["h3"]["robots_rules"][0]["allow"] is False
+
+
+def test_parse_sitemaps_is_file_global():
+    from crawlspark.robots import parse_sitemaps
+
+    txt = (
+        "Sitemap: http://a.example/sitemap.xml\n"   # before any group
+        "User-agent: archivebot\n"
+        "Disallow: /\n"
+        "Sitemap: http://a.example/s2.xml\n"        # inside a foreign group
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "sitemap: http://a.example/s3.xml  # comment\n"  # case + comment
+        "Sitemap: /relative.xml\n"                  # spec: absolute only
+    )
+    assert parse_sitemaps(txt) == [
+        "http://a.example/sitemap.xml",
+        "http://a.example/s2.xml",
+        "http://a.example/s3.xml",
+    ]
+    assert parse_sitemaps(None) == []
+    assert parse_sitemaps("User-agent: *\nDisallow:\n") == []
+
+
+def test_compile_robots_emits_sitemaps_column(spark):
+    from crawlspark.robots import compile_robots
+
+    df = spark.createDataFrame(
+        [("h1", "Sitemap: http://h1/sm.xml\nUser-agent: *\nDisallow: /x\n"),
+         ("h2", None)],
+        "host string, robots_txt string",
+    )
+    out = {r["host"]: r for r in compile_robots(df).collect()}
+    assert out["h1"]["sitemaps"] == ["http://h1/sm.xml"]
+    assert out["h2"]["sitemaps"] == []

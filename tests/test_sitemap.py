@@ -10,7 +10,7 @@ import tempfile
 
 from crawlspark.engine import CrawlEngine, EngineConfig
 from crawlspark.refsim import RefSim
-from crawlspark.synth import UNIT, UNIT_SMAP
+from crawlspark.synth import UNIT, UNIT_SMAP, UNIT_SMAPIDX
 
 
 def test_refsim_sitemap_discovers_orphans():
@@ -31,6 +31,54 @@ def test_engine_matches_refsim_with_sitemaps(spark):
     ref = RefSim(UNIT_SMAP).run()
     eng = CrawlEngine(
         spark, EngineConfig(graph=UNIT_SMAP, warehouse=tempfile.mkdtemp())
+    )
+    eng.run()
+
+    got_order = [
+        (r["cycle_id"], r["batch_pos"], r["url_norm"], r["attempt"], r["ok"])
+        for r in eng.crawl_order().collect()
+    ]
+    want_order = [
+        (c, p, u, a, ok) for (c, p, u, _h, _s, _q, _d, a, ok) in ref.order
+    ]
+    assert got_order == want_order
+
+    got_seen = {
+        r["url_norm"]: r["first_cycle"] for r in eng.seen_set().collect()
+    }
+    assert got_seen == ref.seen
+
+
+def test_refsim_nested_sitemaps_and_robots_directive():
+    """C26 extensions: sitemap URLs learned ONLY from robots.txt
+    `Sitemap:` directives, and the index → child → urlset fan-out."""
+    cfg = UNIT_SMAPIDX
+    # no sitemap URL in the raw operator page seeds — they all come
+    # through the directive parser round-trip
+    assert all("sitemap" not in u for u in cfg.seeds()
+               if not u.endswith("/sitemap.xml"))
+    declared = [u for u in cfg.seeds() if u.endswith("/sitemap.xml")]
+    assert declared == [
+        cfg.sitemap_url(i) for i in range(cfg.n_sites) if cfg.has_sitemap(i)
+    ]
+    r = RefSim(cfg).run()
+    idx = {u for u in r.seen if u.endswith("/sitemap.xml")}
+    kids = {u for u in r.seen if "/sitemap-" in u}
+    assert idx and kids
+    # children are discovered FROM the index, pages FROM the children
+    via_idx = {d for s, d in r.edges if s.endswith("/sitemap.xml")}
+    assert kids <= via_idx
+    via_kid = {d for s, d in r.edges if "/sitemap-" in s}
+    assert via_kid - idx - kids, "child sitemaps admitted no pages"
+    # nesting still surfaces orphans the plain link graph never reaches
+    base = RefSim(UNIT).run()
+    assert (set(r.seen) - set(base.seen) - idx - kids) & via_kid
+
+
+def test_engine_matches_refsim_nested_sitemaps(spark):
+    ref = RefSim(UNIT_SMAPIDX).run()
+    eng = CrawlEngine(
+        spark, EngineConfig(graph=UNIT_SMAPIDX, warehouse=tempfile.mkdtemp())
     )
     eng.run()
 
