@@ -16,8 +16,9 @@ design rules are:
   small batches) via `maxRecordsPerBatch` plus the salt partitioning.
 
 The decode internals are STUBBED (no image/audio libs in this image):
-`decode_media` tries Pillow-style decoding behind an import guard and
-otherwise derives deterministic fake features from the blob bytes, so
+`decode_media(real_decode=True)` opts in to Pillow image decoding
+(per-row fallback to the stub, never an error); by default it
+derives deterministic fake features from the blob bytes, so
 the Spark-side plumbing — schemas, partitioning, UDF signatures, batch
 shapes — is real and tested end-to-end while the pixel math is not.
 """
@@ -53,7 +54,7 @@ FEATURES = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
-        T.StructField("decoder", T.StringType(), False),  # 'real' | 'stub'
+        T.StructField("decoder", T.StringType(), False),  # 'pil' | 'stub'
     ]
 )
 
@@ -111,31 +112,56 @@ def _stub_features(blob: bytes, kind: str):
     return width, height, n_frames, feat
 
 
-def decode_media(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract, Arrow-batched. Real decoders are
-    attempted behind import guards; this container has none, so every
-    row reports decoder='stub' with deterministic fake features — the
-    pipeline shape (schema, partition fan-out, batch iteration) is the
-    part under test."""
+def _pil_features(blob: bytes):
+    """Real image decode via Pillow (when importable AND opted in):
+    grayscale 4×4 thumbnail, pixels normalized to [0,1] as the
+    FEATURE_DIM-vector. Returns (width, height, n_frames, feat) or
+    None when the bytes aren't a decodable image — callers fall back
+    to the stub row, they never raise (a corrupt blob in one batch
+    must not kill a 100 TB decode job)."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError:  # pragma: no cover - lib not in this image
+        return None
+    try:
+        with Image.open(io.BytesIO(blob)) as im:
+            w, h = im.size
+            px = list(im.convert("L").resize((4, 4)).getdata())
+        return w, h, 1, [p / 255.0 for p in px[:FEATURE_DIM]]
+    except Exception:
+        return None
+
+
+def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Decode + feature-extract, Arrow-batched. The deterministic stub
+    is ALWAYS the default and the per-row fallback; `real_decode=True`
+    opts in to Pillow image decoding where the library is importable
+    and the bytes actually decode (decoder='pil' on those rows). No
+    path raises: a present-but-unused decoder, an undecodable blob,
+    or a non-image kind all land stub rows, so the pipeline shape
+    (schema, partition fan-out, batch iteration) holds in any image.
+    Audio/video decode (torchaudio / pyav) would slot in the same
+    way; until wired they always stub."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # pragma: no cover - decoder lib not in this image
-            from PIL import Image  # noqa: F401
-
-            real = True
-        except ImportError:
-            real = False
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if real and r.kind == "image":
-                    raise NotImplementedError(
-                        "real decode path requires Pillow wiring; "
-                        "stub is authoritative in this image"
-                    )
-                w, h, nf, feat = _stub_features(bytes(r.blob), r.kind)
+                real = (
+                    _pil_features(bytes(r.blob))
+                    if real_decode and r.kind == "image"
+                    else None
+                )
+                if real is not None:
+                    w, h, nf, feat = real
+                    dec = "pil"
+                else:
+                    w, h, nf, feat = _stub_features(bytes(r.blob), r.kind)
+                    dec = "stub"
                 rows.append(
-                    (r.media_ref, r.doc_id, r.kind, r.n_bytes, w, h, nf, feat, "stub")
+                    (r.media_ref, r.doc_id, r.kind, r.n_bytes, w, h, nf, feat, dec)
                 )
             yield pd.DataFrame(
                 rows,
