@@ -178,13 +178,20 @@ def q47_contamination(spark, sf):
     suite). Spark shape for 100 TB: the benchmark's distinct grams are
     tiny by definition (evals are MBs), so they BROADCAST; the corpus
     side is a narrow explode + partial-agg distinct count — one
-    shuffle on doc_id, no corpus-vs-corpus join ever."""
+    shuffle on doc_id, no corpus-vs-corpus join ever. The gram arrays
+    are materialized before the two explodes (GenerateExec
+    re-evaluates an inlined generator expression per OUTPUT row — see
+    q48; measured 10 s → ~2 s at sf0.1), and one materialization
+    serves both the bench and corpus sides."""
+    from ..operators.dedup import _materialize
     from ..operators.textstats import _word_grams
     from ..portable import words
 
-    d = T(spark, sf, "documents").select(
-        "doc_id", words("text").alias("_w")
-    ).select("doc_id", _word_grams(F.col("_w"), 4).alias("_g"))
+    d = _materialize(
+        T(spark, sf, "documents").select(
+            "doc_id", words("text").alias("_w")
+        ).select("doc_id", _word_grams(F.col("_w"), 4).alias("_g"))
+    )
     bench = (
         d.filter(F.col("doc_id") < 5)
         .select(F.explode("_g").alias("gram"))
@@ -229,45 +236,62 @@ def q48_lm_quality(spark, sf):
 
     Parity design: probabilities stay RATIONAL (count+1)/(N+B) — no
     ln(), whose last ulp differs between Java's and DuckDB's libm —
-    and the per-doc mean is a sequential fold over a sorted list, so
-    both engines add the same doubles in the same order (bit-exact,
-    like every F.aggregate/list_reduce pair here). Spark shape at
-    100 TB: the model is a groupBy the optimizer partial-aggregates;
-    the score join broadcasts while the model fits and falls back to
-    a shuffle join beyond (no hint — AQE decides); the fold is per-row
-    column math.
+    and the mean is evaluated as EXACT INTEGER arithmetic divided
+    once:  mean p = Σ_g c_dg·(c_bi+1) / (n_g · (N_bi+B))  where c_dg
+    is the doc's count of gram g and n_g = Σ c_dg. Integer sums are
+    associative, so every aggregation partial-aggregates freely on
+    both engines and the ONLY float ops are one multiply and one
+    divide per doc — identical IEEE ops in identical order, bit-exact
+    without any collect_list/sort/fold (the r3 shape's per-doc
+    `sort_array(collect_list(struct))` + sequential fold was the
+    whole 7.3 s cost at sf0.1; this is the same mathematical
+    definition evaluated exactly).
 
-    The exploded gram table and the model are each materialized ONCE
-    (lazy localCheckpoint, the dedup._materialize pattern): naively,
-    the N_bi and B counts plus the score join replay the explode chain
-    three times, and that tripled cost dominated the sf0.1 bench
-    (24.6 s → the materialized shape). denom needs N_bi = sum(c_bi)
-    and B = count(model), both read off the materialized model in one
-    tiny action."""
+    Spark shape at 100 TB: per-(doc,gram) counts shuffle once, the
+    model derives from THEM (partial-agg, never a second corpus
+    scan), the score join broadcasts while the model fits (AQE
+    decides), and the final per-doc rollup is a long-sum groupBy.
+    The gram ARRAYS are materialized before the explode (lazy
+    localCheckpoint, the dedup._materialize pattern): Spark's
+    GenerateExec re-evaluates an inlined generator expression per
+    OUTPUT row, so exploding the transform()-built gram column
+    directly costs O(grams × doc_len) interpreted expression evals —
+    measured 7.1 s vs 0.3 s from a materialized array column at
+    sf0.1. The (doc,gram) count table is then materialized too, since
+    both the model and the score join read it."""
     from ..operators.dedup import _materialize
     from ..operators.textstats import _word_grams
     from ..portable import words
 
-    d = T(spark, sf, "documents").select(
-        "doc_id", words("text").alias("_w")
-    ).select("doc_id", _word_grams(F.col("_w"), 2).alias("_g"))
-    ex = _materialize(d.select("doc_id", F.explode("_g").alias("gram")))
-    model = _materialize(ex.groupBy("gram").agg(F.count("*").alias("c_bi")))
+    d = _materialize(
+        T(spark, sf, "documents").select(
+            "doc_id", words("text").alias("_w")
+        ).select("doc_id", _word_grams(F.col("_w"), 2).alias("_g"))
+    )
+    per = _materialize(
+        d.select("doc_id", F.explode("_g").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c_dg"))
+    )
+    model = _materialize(
+        per.groupBy("gram").agg(F.sum("c_dg").alias("c_bi"))
+    )
     s = model.agg(
         F.sum("c_bi").alias("n_bi"), F.count("*").alias("b")
     ).collect()[0]
     denom = float(int(s["n_bi"]) + int(s["b"]))  # N_bi + B, exact < 2^53
     return (
-        ex.join(model, "gram")
-        .withColumn("p", (F.col("c_bi") + 1) / F.lit(denom))
+        per.join(model, "gram")
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("gram", "p"))).alias("ps"))
+        .agg(
+            F.sum(F.col("c_dg") * (F.col("c_bi") + 1)).alias("_num"),
+            F.sum("c_dg").alias("_ng"),
+        )
         .select(
             "doc_id",
             F.round(
-                F.aggregate(
-                    F.col("ps"), F.lit(0.0), lambda a, x: a + x["p"]
-                ) / F.size("ps"),
+                F.col("_num").cast("double")
+                / (F.col("_ng").cast("double") * F.lit(denom)),
                 6,
             ).alias("lm_score"),
         )
@@ -285,19 +309,17 @@ WITH g AS (
     FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
   ), UNNEST(grams) AS t(gram)
 ),
-model AS (SELECT gram, count(*) AS c_bi FROM g GROUP BY gram),
+per AS (SELECT doc_id, gram, count(*) AS c_dg FROM g GROUP BY doc_id, gram),
+model AS (SELECT gram, sum(c_dg) AS c_bi FROM per GROUP BY gram),
 denom AS (
-  SELECT CAST((SELECT count(*) FROM g) + (SELECT count(*) FROM model) AS DOUBLE) AS d
-),
-j AS (
-  SELECT doc_id, gram, (c_bi + 1) / (SELECT d FROM denom) AS p
-  FROM g JOIN model USING (gram)
-),
-l AS (SELECT doc_id, list(p ORDER BY gram, p) AS ps FROM j GROUP BY doc_id)
+  SELECT CAST((SELECT sum(c_bi) FROM model) + (SELECT count(*) FROM model) AS DOUBLE) AS d
+)
 SELECT doc_id,
-       round(list_reduce(list_prepend(0.0, ps), (a, b) -> a + b) / len(ps), 6)
+       round(CAST(sum(c_dg * (c_bi + 1)) AS DOUBLE)
+             / (CAST(sum(c_dg) AS DOUBLE) * (SELECT d FROM denom)), 6)
        AS lm_score
-FROM l
+FROM per JOIN model USING (gram)
+GROUP BY doc_id
 """
 
 
