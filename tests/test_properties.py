@@ -454,6 +454,20 @@ def test_ivf_quantizer_captures_structure(spark):
     assert capture >= 3 / 16, f"capture {capture} not above chance"
     assert assignment() == cell, "quantizer must be deterministic"
 
+    # the shipped q64 config (n_probe=4): probed-cell capture of the
+    # structured pairs must stay ≥ 0.9 (BENCH/ANN_RECALL.md curve)
+    cents = similarity.ivf_centroids(e, 16, 24, dim=64, refine_rounds=1)
+    probed: dict = {}
+    for r in similarity.ivf_assign(
+        e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+        cents, 4, "id", "v",
+    ).collect():
+        probed.setdefault(r["id"], set()).add(r["cell"])
+    cap4 = sum(
+        1 for i, j in pairs if cell[j] in probed[i] or cell[i] in probed[j]
+    ) / len(pairs)
+    assert cap4 >= 0.9, f"n_probe=4 capture {cap4} below the shipped bar"
+
 
 # -- P27 mixture resampling: deterministic, partitioning-invariant --------
 
