@@ -66,12 +66,21 @@ _FPMIX = 0x5BD1E995
 
 
 def _slots(hashes: np.ndarray, nbuckets: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized (fp, i1, i2) for int64 url_hashes."""
+    """Vectorized (fp, i1, i2) for int64 url_hashes.
+
+    i1 comes from bits 16+ — NOT the low bits — because the engine
+    partitions the seen table by pmod(url_hash, n_seen_parts): with a
+    power-of-two part count the low bits are CONSTANT within a part,
+    and a low-bit i1 could then only reach 1/n_parts of the buckets
+    (measured: a 76%-nominal-fill fold overflowed under 64 parts).
+    Bits 16..16+log2(nbuckets) are disjoint from the part selector for
+    any n_seen_parts ≤ 65536 and from the fingerprint (bits 48..63).
+    The JVM twin (native/src/CuckooFilter.scala) mirrors this exactly."""
     h = hashes.view(np.uint64)
     fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.int64)
     fp[fp == 0] = 1
     mask = np.uint64(nbuckets - 1)
-    i1 = (h & mask).astype(np.int64)
+    i1 = ((h >> np.uint64(16)) & mask).astype(np.int64)
     i2 = i1 ^ ((fp * _FPMIX) & int(mask))
     return fp, i1, i2
 

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions.udf
   * guaranteed by identical slot math and identical order:
   *
   *   fp = (h >>> 48) & 0xFFFF, 0 -> 1
-  *   i1 = h & (nbuckets - 1)
+  *   i1 = (h >>> 16) & (nbuckets - 1)   // bits 16+: disjoint from the
+  *        pmod(url_hash, n_seen_parts) part selector (low bits) and the
+  *        fingerprint (bits 48..63) — a low-bit i1 reaches only
+  *        1/n_parts of the buckets under power-of-two part counts
   *   i2 = i1 ^ ((fp * 0x5BD1E995) & (nbuckets - 1))
   *   insert: first free slot of i1 then i2, else evict with victim
   *   slot = kick# mod bucketSize starting at i1; kick budget
@@ -58,7 +61,7 @@ object CuckooFilter {
     while (n < hashes.length) {
       val h = hashes(n)
       var cur = fpOf(h)
-      val b1 = (h & bmask).toInt
+      val b1 = ((h >>> 16) & bmask).toInt
       val b2 = b1 ^ ((cur * FPMIX) & bmask).toInt
       var placed = false
       var bi = 0
@@ -107,7 +110,7 @@ object CuckooFilter {
     while (n < hashes.length) {
       val h = hashes(n)
       val fp = fpOf(h)
-      val b1 = (h & bmask).toInt
+      val b1 = ((h >>> 16) & bmask).toInt
       val b2 = b1 ^ ((fp * FPMIX) & bmask).toInt
       var hit = false
       var bi = 0
@@ -173,7 +176,7 @@ object CuckooFilter {
           else {
             val bmask = (nbuckets - 1).toLong
             val fp = fpOf(hash)
-            val b1 = (hash & bmask).toInt
+            val b1 = ((hash >>> 16) & bmask).toInt
             val b2 = b1 ^ ((fp * FPMIX) & bmask).toInt
             var found = false
             var s = 0

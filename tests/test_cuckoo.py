@@ -359,3 +359,50 @@ def test_reseed_requeues_and_refetches(spark, tmp_path_factory, flavor):
                                            cuckoo_nbuckets=1 << 10))
     eng2.bootstrap()
     assert eng2.max_seq == eng.max_seq
+
+
+def test_fold_per_part_working_set_bounded(spark):
+    """The cuckoo fold's shuffle carries the novel hashes themselves
+    (collect_list per part — inherent to order-dependent insertion).
+    The per-TASK working set is therefore novel_per_cycle/n_parts × 8 B,
+    and stays bounded because the hash partitioner (pmod of xxhash64)
+    spreads keys uniformly: measured max/mean part-size imbalance must
+    be tiny, and a deliberately large novel batch must fold correctly
+    in one pass (no per-part blowup). n_seen_parts is the knob that
+    holds the bound at any scale — 10^9 novel keys over 4096 parts is
+    ~244k hashes ≈ 1.9 MB per task (BENCH/BASELINE.md note)."""
+    n, parts = 400_000, 64
+    keys = (
+        spark.range(n)
+        .select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+        .select(F.pmod("url_hash", F.lit(parts)).cast("int").alias("part"), "url_hash")
+    )
+    sizes = [r["c"] for r in keys.groupBy("part").agg(F.count("*").alias("c")).collect()]
+    assert len(sizes) == parts
+    mean = n / parts
+    assert max(sizes) <= 1.05 * mean, f"hash partitioner skew: {max(sizes)} vs mean {mean}"
+
+    # fold the whole batch (~6.3k keys/part at 95% fill headroom) and
+    # verify exact membership — one pass, no chunking needed, because
+    # the per-part list is the bound, not the total
+    ck = cuckoo.fold_cuckoo(
+        keys, _empty(spark), cycle_id=1, nbuckets=1 << 11
+    )
+    rows = ck.collect()
+    assert len(rows) == parts
+    assert not any(r["overflow"] for r in rows), "fill headroom misjudged"
+    hashes = np.array(
+        [r["url_hash"] for r in keys.limit(20_000).collect()], dtype=np.int64
+    )
+    by_part = {r["part"]: r for r in rows}
+    got = np.zeros(len(hashes), dtype=bool)
+    pvals = np.mod(hashes, parts)
+    for p, r in by_part.items():
+        m = pvals == p
+        if m.any():
+            got[m] = cuckoo._contains(
+                np.frombuffer(r["bits"], dtype=np.uint16),
+                hashes[m], int(r["nbuckets"]), int(r["bucket_size"]),
+                bool(r["overflow"]),
+            )
+    assert got.all(), "fold dropped keys on the large batch"
