@@ -353,3 +353,17 @@ def test_pattern_cap_two_phase_salted_windows(spark):
     first_detail = p.split(windows[0])[1]
     assert "host_salt" in first_detail.split("(")[0] + first_detail[:400]
     assert "CartesianProduct" not in p
+
+
+def test_q48_plan_is_pure_partial_agg(spark):
+    """q48 (r4 rewrite): the LM-quality plan must be hash aggregates +
+    one join over the materialized gram tables — no per-doc
+    collect_list/sort_array fold (the r3 shape's cost), no cartesian
+    product, and the final rollup's aggregate expressions are plain
+    long sums."""
+    from crawlspark.queries.textq import q48_lm_quality
+
+    p = plan_of(q48_lm_quality(spark, SF))
+    assert "collect_list" not in p and "sort_array" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
