@@ -68,8 +68,8 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str, spark: SparkSession) -> DataFrame:
-    """(id, pred_lang): stopword-profile argmax language-ID.
+def lang_pred_expr(w: Column) -> Column:
+    """Stopword-profile argmax over a bound words-array column.
 
     Score(lang) = token occurrences in that language's stopword list,
     computed as pure column math over the bound words array — no
@@ -88,14 +88,19 @@ def lang_id(df: DataFrame, id_col: str, text_col: str, spark: SparkSession) -> D
         return lambda x: F.array_contains(arr, x)
 
     pred, best = F.lit("und"), F.lit(0)
-    w = F.col("_w")
     for lang, toks in sorted(STOPWORDS.items()):
         arr = F.array(*[F.lit(t) for t in toks])
         s = F.size(F.filter(w, contains(arr)))
         pred = F.when(s > best, F.lit(lang)).otherwise(pred)
         best = F.greatest(s, best)
+    return pred
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str, spark: SparkSession) -> DataFrame:
+    """(id, pred_lang): stopword-profile argmax language-ID (see
+    :func:`lang_pred_expr` for the zero-shuffle scoring shape)."""
     return df.select(F.col(id_col).alias("id"), words(text_col).alias("_w")).select(
-        "id", pred.alias("pred_lang")
+        "id", lang_pred_expr(F.col("_w")).alias("pred_lang")
     )
 
 
@@ -279,6 +284,57 @@ def mixture_sample(
         .filter(F.col("_n") >= 1)
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
         .drop("_n")
+    )
+
+
+def curate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 5,
+    min_quality: float = 0.5,
+    mixture: dict[str, float] | None = None,
+    default_weight: float = 0.75,
+    mixture_col: str = "pred_lang",
+) -> DataFrame:
+    """P30 end-to-end curation pipeline: the composed corpus-prep
+    flow an LLM training run feeds on — quality features + filter →
+    language-ID → exact dedup (keep-first) → weighted mixture
+    resampling keyed on ``mixture_col`` (the predicted language by
+    default; corpora whose metadata language is authoritative pass
+    their own column). One declarative plan,
+    so Catalyst fuses the whole narrow prefix (quality, lang-ID, dedup
+    key) into a single codegen'd scan stage.
+
+    Scale shape: exactly one shuffle inside the pipeline at any corpus
+    size — the dedup window's hash partition on dup_key (Spark's
+    WindowGroupLimit prunes to one row per dup_key map-side first);
+    the caller's final aggregate adds its own. Everything else
+    (features, argmax
+    lang, mixture keep/explode) is per-row column math; the quality
+    filter runs BEFORE the dedup shuffle, so rejected bytes never hit
+    the wire. Every stage is individually deterministic under
+    repartition/retry (md5-keyed dedup + md5-threshold mixture), so a
+    resumed 100 TB job re-draws identical output.
+
+    Output: surviving rows of ``df`` with ``n_words``/``quality``
+    features, ``pred_lang``, ``dup_key``, and the mixture ``epoch``
+    copy index (one row per training epoch copy)."""
+    from . import dedup
+
+    d = with_quality(df, text_col).withColumn(
+        "pred_lang", lang_pred_expr(words(text_col))
+    )
+    kept = d.filter(
+        (F.col("n_words") >= F.lit(min_words))
+        & (F.col("quality") >= F.lit(min_quality))
+    )
+    surv = dedup.exact_dedup(
+        kept, F.substring(F.col(text_col), 1, 40), id_col
+    ).filter(F.col("keep"))
+    return mixture_sample(
+        surv, id_col, mixture_col, mixture or {}, default_weight
     )
 
 

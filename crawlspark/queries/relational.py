@@ -1048,6 +1048,56 @@ GROUP BY source
 """
 
 
+# --- R27 table profiling (Deequ-style ingest sanity pass) ------------------
+
+_PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+                 "l_shipdate"]
+
+
+def profile(df, cols: list[str]):
+    """R27 column profiling: per-column row/null/distinct counts and
+    min/max (as strings) — the sanity pass any 100 TB ingest runs
+    before committing a source. ONE aggregation pass over the table
+    computes every stat as a partial aggregate (count/min/max combine
+    map-side; the exact distinct counts share one Expand — the price
+    of exactness, documented; swap in approx_count_distinct for a
+    single-pass sketch at 10^12 rows). The wide 1-row result is then
+    reshaped to one-row-per-column with `stack` — pure JVM on a single
+    row, no second scan, no driver loop."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_null, n_distinct, min_val, max_val)",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+def q96_profile(spark, sf):
+    return profile(T(spark, sf, "lineitem"), _PROFILE_COLS)
+
+
+SQL96 = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q65_percentiles": q65_percentiles,
@@ -1093,11 +1143,13 @@ QUERIES = {
     "q36_csv_scan": q36_csv_scan,
     "q37_sample": q37_sample,
     "q45_doc_unpivot": q45_doc_unpivot,
+    "q96_profile": q96_profile,
 }
 
 ORACLE = {
     "q01_pricing_summary": SQL01,
     "q65_percentiles": SQL65,
+    "q96_profile": SQL96,
     "q02_filter_project": SQL02,
     "q03_revenue_by_nation": SQL03,
     "q04_order_priority": SQL04,

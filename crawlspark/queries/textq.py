@@ -575,6 +575,91 @@ GROUP BY 1
 """
 
 
+def q95_curation(spark, sf):
+    """P30 end-to-end curation pipeline (operators/textstats.curate):
+    quality features + filter (n_words >= 5, quality >= 0.4) →
+    stopword-argmax language-ID → exact dedup keep-first on the text
+    prefix → weighted mixture resampling — composed as ONE declarative
+    plan: the dedup window exchange (map-side WindowGroupLimit prunes
+    to 1 row/dup_key before the wire) plus the rollup's two-phase
+    distinct aggregate; no other shuffle exists in the plan.
+    The mixture keys on the metadata ``lang`` column (the testdata's
+    text is English-vocab for every lang, so pred_lang is degenerate
+    here; it rides along as the computed feature it is in production).
+    Output: per-(lang, pred_lang) post-resample row count (training
+    epoch copies), distinct surviving docs, training-token total,
+    mixture-weighted mean quality."""
+    rs = textstats.curate(
+        T(spark, sf, "documents"), "doc_id", "text",
+        min_words=5, min_quality=0.4,
+        mixture={"en": 0.5, "de": 2.25, "fr": 1.0, "zh": 0.125},
+        default_weight=0.75, mixture_col="lang",
+    )
+    return rs.groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(textstats.token_count_col(F.col("text")))
+        .cast("long").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+_W95 = ("CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 2250000 "
+        "WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 125000 ELSE 750000 END")
+
+SQL95 = rf"""
+WITH feat AS (
+  SELECT doc_id, lang, text, n_words,
+         round(least(1.0, n_words / 200.0) * 0.5
+               + (1 - least(1.0, n_punct / n_chars_t * 10)) * 0.25
+               + least(1.0, n_stop / n_words * 5) * 0.25, 6) AS quality
+  FROM (
+    SELECT doc_id, lang, text,
+           len(w) AS n_words,
+           length(trim(text)) AS n_chars_t,
+           len(regexp_extract_all(trim(text), '[^A-Za-z0-9\s]')) AS n_punct,
+           len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+    FROM (SELECT doc_id, lang, text, string_split(trim(text), ' ') AS w
+          FROM documents))),
+toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+prof(plang, tok) AS (VALUES {_STOP_VALUES}),
+sc AS (
+  SELECT doc_id, plang, count(*) AS hits
+  FROM toks JOIN prof USING (tok) GROUP BY 1, 2),
+langp AS (
+  SELECT doc_id, plang FROM (
+    SELECT doc_id, plang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, plang ASC) AS rn
+    FROM sc) WHERE rn = 1),
+kept AS (
+  SELECT f.doc_id, f.lang, f.text, f.quality,
+         coalesce(l.plang, 'und') AS pred_lang
+  FROM feat f LEFT JOIN langp l ON l.doc_id = f.doc_id
+  WHERE f.n_words >= 5 AND f.quality >= 0.4),
+surv AS (
+  SELECT doc_id, lang, text, quality, pred_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY dup_key
+                                 ORDER BY doc_id) AS rn
+    FROM (SELECT *, {_H("substr(text, 1, 40)")} AS dup_key FROM kept))
+  WHERE rn = 1),
+mix AS (
+  SELECT doc_id, lang, pred_lang, quality, text,
+         ({_W95} // 1000000)
+         + CASE WHEN ({_H("doc_id")} % 1000000) < ({_W95} % 1000000)
+                THEN 1 ELSE 0 END AS n
+  FROM surv)
+SELECT lang, pred_lang,
+       count(*) AS n_rows,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM mix, UNNEST(range(1, n + 1)) AS u(epoch)
+GROUP BY lang, pred_lang
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -590,6 +675,7 @@ QUERIES = {
     "q69_mixture": q69_mixture,
     "q74_pii_scrub": q74_pii_scrub,
     "q75_shard_manifest": q75_shard_manifest,
+    "q95_curation": q95_curation,
 }
 
 ORACLE = {
@@ -607,4 +693,5 @@ ORACLE = {
     "q69_mixture": SQL69,
     "q74_pii_scrub": SQL74,
     "q75_shard_manifest": SQL75,
+    "q95_curation": SQL95,
 }
