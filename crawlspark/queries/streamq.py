@@ -242,18 +242,90 @@ def q94_stream_distinct(spark, sf):
 SQL94 = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def q97_stream_join(spark, sf):
+    """S8 stream-stream inner join with an event-time range condition:
+    each click joined to the same user's purchases in the following
+    hour — the attribution join every event pipeline runs. Both sides
+    are watermarked, so Spark's symmetric hash join evicts state once
+    the range condition can no longer match (bounded state at an
+    unbounded 100 TB/day stream — without the time bound the join
+    state IS the stream); availableNow to completion. Append-mode
+    output over a finite source equals the batch join, so the oracle
+    is the plain self-join in DuckDB."""
+    from . import pin_session
+
+    pin_session(spark)
+    name = f"q97_sink_{next(_COUNTER)}"
+    clicks = (
+        S.file_stream(spark, _events_dir(sf), S.EVENTS_SCHEMA)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        S.file_stream(spark, _events_dir(sf), S.EVENTS_SCHEMA)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    j = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 1 hour"
+        ),
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "click_id", "purchase_id", "user_id",
+        F.col("click_ts").cast("long").alias("click_ts"),
+        F.col("purchase_ts").cast("long").alias("purchase_ts"),
+        "value",
+    )
+
+
+SQL97 = """
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+       CAST(floor(epoch(a.ts)) AS BIGINT) AS click_ts,
+       CAST(floor(epoch(b.ts)) AS BIGINT) AS purchase_ts,
+       b.value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "q90_stream_window_rates": q90_stream_window_rates,
     "q91_stream_sessions": q91_stream_sessions,
     "q92_stream_token_buckets": q92_stream_token_buckets,
     "q93_crawl_stream_rates": q93_crawl_stream_rates,
     "q94_stream_distinct": q94_stream_distinct,
+    "q97_stream_join": q97_stream_join,
 }
 
 ORACLE = {
     "q90_stream_window_rates": SQL90,
     "q91_stream_sessions": SQL91,
     "q94_stream_distinct": SQL94,
+    "q97_stream_join": SQL97,
 }
 
 
