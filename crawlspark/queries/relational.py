@@ -1098,6 +1098,31 @@ FROM lineitem"""
 )
 
 
+# --- R28 hot-key-targeted skew join ----------------------------------------
+
+def q98_skew_join(spark, sf):
+    """R28 (operators/skew.py): events ⋈ customer with the top-5
+    hottest user_ids salted across 8 reducers and only their build
+    rows replicated. Row-identical to the plain join — which is
+    exactly what the oracle checks; the salted shuffle shape is
+    asserted in tests/test_skew.py."""
+    from ..operators import skew
+
+    e = T(spark, sf, "events")
+    c = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    hot = skew.hot_keys(e, "user_id", top=5)
+    j = skew.skew_join(e, c, "user_id", "event_id", hot, n_salt=8)
+    return j.select("event_id", "user_id", "c_name", "c_nationkey", "value")
+
+
+SQL98 = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q65_percentiles": q65_percentiles,
@@ -1144,9 +1169,11 @@ QUERIES = {
     "q37_sample": q37_sample,
     "q45_doc_unpivot": q45_doc_unpivot,
     "q96_profile": q96_profile,
+    "q98_skew_join": q98_skew_join,
 }
 
 ORACLE = {
+    "q98_skew_join": SQL98,
     "q01_pricing_summary": SQL01,
     "q65_percentiles": SQL65,
     "q96_profile": SQL96,
