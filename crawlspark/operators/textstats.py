@@ -287,6 +287,44 @@ def mixture_sample(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, group_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """P31 TF-IDF salient terms: the top-k terms that characterize
+    each group (source/domain/language slice) — the corpus-description
+    op used to audit what a 100 TB slice actually contains. idf stays
+    the unlogged rational (n_groups + 1)/(df_g + 1) (monotone in df_g;
+    no libm ln, so DuckDB replays the doubles bit-exactly — the q49
+    discipline).
+
+    Scale shape: token explode → ONE partial-agg groupBy to (group,
+    term, tf) — the only corpus-sized shuffle; df and the top-k window
+    then run over the (group, term) vocabulary table, which is
+    $|vocab|$-sized, not corpus-sized. n_groups is one bounded scalar
+    collect."""
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(words(text_col)).alias("tok")
+    )
+    tf = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_g"))
+    n_groups = df.select(group_col).distinct().count()
+    scored = tf.join(dfs, "tok").withColumn(
+        "tfidf",
+        F.col("tf") * F.lit(n_groups + 1.0) / (F.col("df_g") + F.lit(1.0)),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("grp").alias(group_col), "tok", "tf",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
 def curate(
     df: DataFrame,
     id_col: str,

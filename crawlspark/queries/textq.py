@@ -660,6 +660,34 @@ GROUP BY lang, pred_lang
 """
 
 
+def q99_tfidf(spark, sf):
+    """P31 TF-IDF salient terms (operators/textstats.tfidf_top_terms):
+    the 5 most source-characteristic terms per source by unlogged
+    TF-IDF — corpus-audit surface. Tie-break (tfidf desc, tok asc) and
+    the rational idf make the ranking engine-independent."""
+    return textstats.tfidf_top_terms(
+        T(spark, sf, "documents"), "source", "text", k=5
+    )
+
+
+SQL99 = """
+WITH toks AS (
+  SELECT source AS grp, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents),
+tf AS (SELECT grp, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfs AS (SELECT tok, count(*) AS df_g FROM tf GROUP BY tok),
+ng AS (SELECT count(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT grp, tok, tf, tf * (n + 1.0) / (df_g + 1.0) AS tfidf
+  FROM tf JOIN dfs USING (tok), ng)
+SELECT grp AS source, tok, tf, round(tfidf, 6) AS tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY grp
+                                   ORDER BY tfidf DESC, tok ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -676,6 +704,7 @@ QUERIES = {
     "q74_pii_scrub": q74_pii_scrub,
     "q75_shard_manifest": q75_shard_manifest,
     "q95_curation": q95_curation,
+    "q99_tfidf": q99_tfidf,
 }
 
 ORACLE = {
@@ -694,4 +723,5 @@ ORACLE = {
     "q74_pii_scrub": SQL74,
     "q75_shard_manifest": SQL75,
     "q95_curation": SQL95,
+    "q99_tfidf": SQL99,
 }
