@@ -112,3 +112,52 @@ def write_sharded(
         .parquet(path)
     )
     return n_shards
+
+
+def warc_records(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    uri_col,
+    date_iso: str = "2026-01-01T00:00:00Z",
+) -> DataFrame:
+    """R29 WARC-record serialization: render each document as a
+    WARC/1.0 ``response`` record (the interchange format the crawl
+    ecosystem — Common Crawl, wget, pywb — reads), so an exported
+    shard is a valid .warc payload, not a bespoke parquet-only layout.
+
+    Every field is deterministic: WARC-Record-ID is the md5 of the
+    target URI formatted as urn:uuid (stable across engines/retries —
+    never a random uuid4), Content-Length is the payload's octet
+    length, and the date is caller-pinned (documents carry no fetch
+    time here; production passes the crawl timestamp column through).
+    Pure narrow column concat — zero shuffles, linear in corpus bytes;
+    compose with :func:`write_sharded` for fixed-size .warc shards.
+    """
+    uri = uri_col if not isinstance(uri_col, str) else F.col(uri_col)
+    h = F.md5(uri)
+    rec_id = F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12), F.lit(">"),
+    )
+    payload = F.col(text_col)
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        F.lit(f"\r\nWARC-Date: {date_iso}\r\nWARC-Record-ID: "),
+        rec_id,
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+    return df.select(
+        F.col(id_col),
+        record.alias("warc"),
+        F.octet_length(record).cast("long").alias("warc_bytes"),
+    )

@@ -688,6 +688,48 @@ WHERE rn <= 5
 """
 
 
+def q100_warc_export(spark, sf):
+    """R29 WARC serialization (operators/bucketing.warc_records):
+    every document rendered as a deterministic WARC/1.0 response
+    record (urn:uuid record id = md5(target URI); byte-exact
+    Content-Length), the interchange format crawl tooling reads.
+    Zero shuffles — pure narrow concat."""
+    from ..operators import bucketing
+
+    d = T(spark, sf, "documents").withColumn(
+        "uri",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return bucketing.warc_records(d, "doc_id", "text", F.col("uri"))
+
+
+SQL100 = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS uri
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n'
+         || 'WARC-Target-URI: ' || uri || e'\r\n'
+         || 'WARC-Date: 2026-01-01T00:00:00Z' || e'\r\n'
+         || 'WARC-Record-ID: <urn:uuid:'
+         || substr(md5(uri), 1, 8) || '-' || substr(md5(uri), 9, 4) || '-'
+         || substr(md5(uri), 13, 4) || '-' || substr(md5(uri), 17, 4) || '-'
+         || substr(md5(uri), 21, 12) || '>' || e'\r\n'
+         || 'Content-Type: text/plain' || e'\r\n'
+         || 'Content-Length: ' || CAST(octet_length(encode(text)) AS VARCHAR)
+         || e'\r\n\r\n' || text || e'\r\n\r\n' AS warc
+  FROM d)
+SELECT doc_id, warc,
+       CAST(octet_length(encode(warc)) AS BIGINT) AS warc_bytes
+FROM r
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -705,6 +747,7 @@ QUERIES = {
     "q75_shard_manifest": q75_shard_manifest,
     "q95_curation": q95_curation,
     "q99_tfidf": q99_tfidf,
+    "q100_warc_export": q100_warc_export,
 }
 
 ORACLE = {
@@ -724,4 +767,5 @@ ORACLE = {
     "q75_shard_manifest": SQL75,
     "q95_curation": SQL95,
     "q99_tfidf": SQL99,
+    "q100_warc_export": SQL100,
 }
