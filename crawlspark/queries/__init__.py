@@ -39,41 +39,44 @@ _WINDOW = [
     "q68_redirects", "q78_reseed", "q79_sitemap_index",
     "q71_revisit_versions", "q72_change_rates", "q73_sitemap_seen",
     "q76_backoff", "q77_priority_feedback", "q86_frame_sample",
-    # streaming S1–S7 (q94 streaming dedup rotates in)
+    # streaming S1–S8 (q94 streaming dedup rotated in r4; q97
+    # stream-stream join is new in r4)
     "q90_stream_window_rates", "q91_stream_sessions",
     "q92_stream_token_buckets", "q93_crawl_stream_rates",
-    "q94_stream_distinct",
-    # similarity P7–P8: one slot per distinct method — exact baseline,
-    # band-OR LSH (the production recall config), IVF coarse-quantizer.
-    # The single-table LSH (q61) and multi-probe (q62) variants stay
-    # registered in the tail.
-    "q60_cosine_topk", "q63_ann_banded", "q64_ann_ivf",
-    # dedup P1–P6, P17, P25, P28 + embedding-cosine near-dups. The
-    # signature-intermediate variants (q51 minhash sigs, q53 simhash,
-    # q55 chargram Jaccard) rotate to the tail: their machinery runs
-    # in-window inside the pair queries (q52 recomputes shingle
-    # Jaccard for verify, q54 computes simhash), and each kept hard
-    # rows in r2+r3
-    "q56_dedup_clusters", "q50_exact_dedup", "q52_near_dup_pairs",
+    "q94_stream_distinct", "q97_stream_join",
+    # similarity P8: band-OR LSH (the production recall config) + IVF
+    # coarse-quantizer. The exact baseline (q60, P7) rotates to the
+    # tail with hard rows from r2+r3 — its cosine machinery runs
+    # in-window as q63/q64's exact re-rank stage; the single-table LSH
+    # (q61) and multi-probe (q62) variants stay in the tail.
+    "q63_ann_banded", "q64_ann_ivf",
+    # dedup P3, P5, P6→P17, P19, P25, P28. The signature-intermediate
+    # variants (q51 minhash sigs, q53 simhash, q55 chargram Jaccard)
+    # stay in the tail (machinery runs in-window inside the pair
+    # queries); q50 exact dedup (P1) rotates to the tail with hard
+    # rows from r2+r3+r4-prior — the identical keep-first operator
+    # runs in-window inside q95's dedup stage
+    "q56_dedup_clusters", "q52_near_dup_pairs",
     "q54_simhash_pairs", "q57_embed_near_dups", "q59_chunk_dedup",
     "q70_incremental_dedup",
-    # text pipeline P9–P12 + the r3-tail P components rotating in:
-    # repetition (P20), decontamination (P21), BM25 (P23), packing
-    # (P24), boilerplate (P26), mixture (P27), PII (P29), shard
-    # export (R26); LM quality (P22) and percentiles (R25) stay.
-    # q44 media-meta rotates out (P13's multimodal path runs
-    # in-window via q84/q86; hard rows r2+r3)
-    "q40_token_stats", "q41_quality", "q42_lang_id", "q43_fingerprint",
+    # text/LLM pipeline. New r4 first-class components enter: P30
+    # curation pipeline (q95 — which composes P9 lang-ID, P10 quality,
+    # P11 token counting and P1 dedup in-window, letting their
+    # dedicated queries q40/q41/q42 rotate to the tail with r2+r3 hard
+    # rows), P31 TF-IDF (q99), R29 WARC export (q100). q43
+    # fingerprinting rotates out on its r2+r3 hard rows.
+    "q95_curation", "q99_tfidf", "q100_warc_export",
     "q46_repetition", "q47_contamination", "q48_lm_quality",
     "q49_bm25", "q58_seq_packing", "q65_percentiles",
     "q66_boilerplate", "q69_mixture", "q74_pii_scrub",
     "q75_shard_manifest",
     # relational representatives: the shuffle/broadcast join chain
     # (R6/R7), the as-of join (P15/R10), the bucketed anti-join
-    # (P18/R8). The 14 relational rows hard-green in BOTH r2 and r3
-    # (q01/q08/q10/q12/q13/q14/q15/q18/q20/q28–q31/q35) rotate to the
-    # tail to make room — still full-registry-checked every round
+    # (P18/R8), plus the new R27 profiling and R28 skew join. The 14
+    # relational rows hard-green in BOTH r2 and r3 stay in the tail —
+    # still full-registry-checked every round
     "q03_revenue_by_nation", "q25_asof_orders", "q26_bucketed_antijoin",
+    "q96_profile", "q98_skew_join",
 ]
 
 
