@@ -385,4 +385,9 @@ def build_crawl_oracles(cfg: GraphConfig = UNIT) -> dict[str, str]:
     # q89: url_seen pinned to the cycle-3 snapshot == discoveries with
     # first_cycle <= 3
     sql["q89_time_travel"] = f"SELECT * FROM {q81_pq} WHERE first_cycle <= 3"
+    # q101: CDC diff of the cycle-2 → cycle-4 snapshots == discoveries
+    # in that window (url_seen is append-only with monotone first_cycle)
+    sql["q101_snapshot_diff"] = (
+        f"SELECT * FROM {q81_pq} WHERE first_cycle > 2 AND first_cycle <= 4"
+    )
     return sql

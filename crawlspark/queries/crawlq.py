@@ -470,6 +470,29 @@ def q89_time_travel(spark, sf):
     return eng.cat.read("url_seen", snap).select("url_norm", "first_cycle")
 
 
+def q101_snapshot_diff(spark, sf):
+    """C22 extension — CDC-style incremental consumption: the url_seen
+    rows ADDED between the cycle-2 and cycle-4 snapshots, as an
+    anti-join of two pinned snapshot reads of the same table. This is
+    the poll a downstream trainer runs ("everything new since my last
+    sync") without ever scanning history logs; both reads are pinned,
+    so the result is stable no matter what later cycles or forget()
+    calls do to the live table. Oracle: q81's expectation filtered to
+    2 < first_cycle <= 4 (append-only monotone discovery)."""
+    eng = _engine(spark)
+    s2 = eng.cat.snapshot_for_cycle(2)
+    s4 = eng.cat.snapshot_for_cycle(4)
+    return (
+        eng.cat.read("url_seen", s4)
+        .join(
+            eng.cat.read("url_seen", s2).select("url_norm"),
+            "url_norm",
+            "left_anti",
+        )
+        .select("url_norm", "first_cycle")
+    )
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -490,6 +513,7 @@ QUERIES = {
     "q87_cuckoo_seen": q87_cuckoo_seen,
     "q88_forget_recrawl": q88_forget_recrawl,
     "q89_time_travel": q89_time_travel,
+    "q101_snapshot_diff": q101_snapshot_diff,
 }
 
 ORACLE: dict[str, str] = {}
