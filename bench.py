@@ -43,6 +43,9 @@ HEADLINE = [
     "q60_cosine_topk",
     "q61_ann_lsh",
     "q64_ann_ivf",
+    # new round-4 components
+    "q95_curation",
+    "q99_tfidf",
 ]
 
 

@@ -589,8 +589,14 @@ def q95_curation(spark, sf):
     Output: per-(lang, pred_lang) post-resample row count (training
     epoch copies), distinct surviving docs, training-token total,
     mixture-weighted mean quality."""
+    # tokenize once per INPUT doc — post-mixture each epoch copy would
+    # re-run the BPE regexp on the full text (the narrow column rides
+    # through the dedup shuffle as one int)
+    d = T(spark, sf, "documents").withColumn(
+        "n_tokens", textstats.token_count_col(F.col("text"))
+    )
     rs = textstats.curate(
-        T(spark, sf, "documents"), "doc_id", "text",
+        d, "doc_id", "text",
         min_words=5, min_quality=0.4,
         mixture={"en": 0.5, "de": 2.25, "fr": 1.0, "zh": 0.125},
         default_weight=0.75, mixture_col="lang",
@@ -598,8 +604,7 @@ def q95_curation(spark, sf):
     return rs.groupBy("lang", "pred_lang").agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("doc_id").alias("n_docs"),
-        F.sum(textstats.token_count_col(F.col("text")))
-        .cast("long").alias("total_tokens"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
 
