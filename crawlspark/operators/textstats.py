@@ -473,3 +473,85 @@ def boilerplate_detect(
             F.round(F.col("n_boiler") / F.col("n_chunks"), 6),
         )
     )
+
+
+def domain_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 20,
+) -> DataFrame:
+    """P33: domain-level quality rollup with empirical-Bayes shrinkage
+    — the Gopher/RefinedWeb-style pass that filters whole DOMAINS, not
+    documents: a source with few docs shouldn't be kept or killed on a
+    noisy mean, so its score is shrunk toward the corpus prior by
+    pseudo-count ``k``:  shrunk = (n·score + k·prior) / (n + k).
+
+    Determinism at 100 TB: every per-doc feature is an exact INTEGER
+    (word/punct/stopword/char counts), aggregated as exact long sums —
+    the composite score is then computed from those sums in one fixed
+    expression, so the result is partitioning-invariant (no
+    order-sensitive double accumulation; the q77 lesson applied to
+    means). The prior derives from the same global sums via one
+    broadcast scalar row. Two partial-agg shuffles (per-source +
+    global), both over 10^5-ish domain rows, corpus touched once.
+    """
+    t = F.trim(F.col(text_col))
+    w = F.split(t, " ")
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    feats = df.select(
+        F.col(source_col).alias("source"),
+        F.length(t).alias("n_chars"),
+        F.size(w).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+        ).alias("n_punct"),
+        F.size(F.filter(w, lambda x: F.array_contains(en_stop, x))).alias(
+            "n_stop"
+        ),
+    )
+
+    def composite(n_docs, s_words, s_chars, s_punct, s_stop):
+        # same weights as the per-doc quality score (with_quality),
+        # evaluated over exact aggregate counts — mirror SQL103 exactly
+        return F.round(
+            F.least(F.lit(1.0), (s_words / n_docs) / F.lit(200.0)) * 0.5
+            + (F.lit(1) - F.least(F.lit(1.0), s_punct / s_chars * 10)) * 0.25
+            + F.least(F.lit(1.0), s_stop / s_words * 5) * 0.25,
+            6,
+        )
+
+    agg = feats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("n_punct").cast("long").alias("sum_punct"),
+        F.sum("n_stop").cast("long").alias("sum_stop"),
+    )
+    scored = agg.select(
+        "source", "n_docs", "sum_words",
+        composite(
+            F.col("n_docs"), F.col("sum_words"), F.col("sum_chars"),
+            F.col("sum_punct"), F.col("sum_stop"),
+        ).alias("score"),
+    )
+    prior = feats.agg(
+        F.count("*").alias("g_docs"),
+        F.sum("n_words").cast("long").alias("g_words"),
+        F.sum("n_chars").cast("long").alias("g_chars"),
+        F.sum("n_punct").cast("long").alias("g_punct"),
+        F.sum("n_stop").cast("long").alias("g_stop"),
+    ).select(
+        composite(
+            F.col("g_docs"), F.col("g_words"), F.col("g_chars"),
+            F.col("g_punct"), F.col("g_stop"),
+        ).alias("prior")
+    )
+    return scored.crossJoin(F.broadcast(prior)).select(
+        "source", "n_docs", "sum_words", "score",
+        F.round(
+            (F.col("n_docs") * F.col("score") + F.lit(k) * F.col("prior"))
+            / (F.col("n_docs") + F.lit(k)),
+            6,
+        ).alias("score_shrunk"),
+    )

@@ -70,13 +70,18 @@ _WINDOW = [
     "q49_bm25", "q58_seq_packing", "q65_percentiles",
     "q66_boilerplate", "q69_mixture", "q74_pii_scrub",
     "q75_shard_manifest",
-    # relational representatives: the shuffle/broadcast join chain
-    # (R6/R7), the as-of join (P15/R10), the bucketed anti-join
-    # (P18/R8), plus the new R27 profiling and R28 skew join. The 14
-    # relational rows hard-green in BOTH r2 and r3 stay in the tail —
-    # still full-registry-checked every round
-    "q03_revenue_by_nation", "q25_asof_orders", "q26_bucketed_antijoin",
-    "q96_profile", "q98_skew_join",
+    # new late-r4 first-class components: P32 cross-document media
+    # dedup over the interleaved payload (q102, refsim oracle) and
+    # P33 domain-level quality with empirical-Bayes shrinkage (q103).
+    # They take the slots of q03/q25 (hard-green r1/r2+r3; the
+    # broadcast-join and as-of machinery they exercised stays
+    # in-window inside q26/q96/q98 and the crawl queries)
+    "q102_media_dedup", "q103_domain_quality",
+    # relational representatives: the bucketed anti-join (P18/R8),
+    # the new R27 profiling and R28 skew join. The relational rows
+    # hard-green in BOTH r2 and r3 (q03/q25 now among them) are in
+    # the tail — still full-registry-checked every round
+    "q26_bucketed_antijoin", "q96_profile", "q98_skew_join",
 ]
 
 

@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 12
+_VERSION = 13
 
 
 def _md5_60(s: str) -> int:
@@ -224,6 +224,21 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
         (c, host, len(v), sum(1 for _p, ok in v if ok), max(p for p, _ok in v))
         for (c, host), v in by_ch.items()
     ]
+    # q102: cross-document media dedup (P32) — per distinct media_ref:
+    # occurrence count, distinct referencing docs, and the canonical
+    # keeper occurrence = lexicographic min over (doc_id, offset),
+    # exactly Spark's min(struct(doc_id, offset))
+    by_ref: dict[str, list] = {}
+    for doc_id, (_c, spans) in res.docs.items():
+        for s in spans:
+            if s["kind"] == "media":
+                by_ref.setdefault(s["media_ref"], []).append(
+                    (doc_id, s["offset"])
+                )
+    q102 = [
+        (ref, len(v), len({d for d, _o in v}), min(v)[0], min(v)[1])
+        for ref, v in sorted(by_ref.items())
+    ]
     return {
         "q80_crawl_order": (
             ["cycle_id", "batch_pos", "url_norm", "url_hash", "host",
@@ -307,6 +322,12 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
             "host string, pr_max double, new_priority int64",
             q77,
         ),
+        "q102_media_dedup": (
+            ["media_ref", "n_refs", "n_docs", "keeper_doc", "keeper_offset"],
+            "media_ref string, n_refs int64, n_docs int64,"
+            " keeper_doc string, keeper_offset int32",
+            q102,
+        ),
     }
 
 
@@ -320,7 +341,7 @@ _NAMES = [
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
     "q86_frame_sample", "q93_crawl_stream_rates", "q67_trap_guard",
     "q68_redirects", "q71_revisit_versions", "q72_change_rates",
-    "q76_backoff", "q77_priority_feedback",
+    "q76_backoff", "q77_priority_feedback", "q102_media_dedup",
 ]
 
 

@@ -493,6 +493,57 @@ def q101_snapshot_diff(spark, sf):
     )
 
 
+def _engine_media(spark) -> CrawlEngine:
+    """UNIT_MEDIA crawl: media-heavy pages drawing media_refs from a
+    13-id-per-host asset namespace, so the same asset genuinely recurs
+    across documents (the corpus a media-dedup pass exists for)."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-media"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_MEDIA
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_MEDIA, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q102_media_dedup(spark, sf):
+    """P32 cross-document media dedup over the interleaved payload: at
+    100 TB a large share of bytes is the SAME asset embedded on many
+    pages (logos, thumbnails, CDN-shared files); storing/decoding one
+    canonical copy and rewriting the rest as references is a standard
+    corpus-prep pass. Per distinct media_ref: occurrence count,
+    distinct referencing docs, and the canonical keeper occurrence =
+    min(struct(doc_id, offset)) — an order-insensitive partial
+    aggregate, so the keeper is partitioning-invariant (never a
+    window; the hot logo ref shuffles one row per map task, the same
+    discipline as chunk dedup q59). Oracle: refsim twin over the same
+    UNIT_MEDIA graph (crawl_oracle.py)."""
+    docs = _engine_media(spark).documents()
+    m = (
+        docs.select("doc_id", F.explode("spans").alias("span"))
+        .filter(F.col("span.kind") == "media")
+        .select(
+            F.col("span.media_ref").alias("media_ref"),
+            "doc_id",
+            F.col("span.offset").alias("offset"),
+        )
+    )
+    return m.groupBy("media_ref").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min(F.struct("doc_id", "offset")).alias("_k"),
+    ).select(
+        "media_ref", "n_refs", "n_docs",
+        F.col("_k.doc_id").alias("keeper_doc"),
+        F.col("_k.offset").alias("keeper_offset"),
+    )
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -514,6 +565,7 @@ QUERIES = {
     "q88_forget_recrawl": q88_forget_recrawl,
     "q89_time_travel": q89_time_travel,
     "q101_snapshot_diff": q101_snapshot_diff,
+    "q102_media_dedup": q102_media_dedup,
 }
 
 ORACLE: dict[str, str] = {}
@@ -545,4 +597,8 @@ def build_oracle() -> dict[str, str]:
 
     sql["q78_reseed"] = build_crawl_oracles(UNIT_RESEED)["q80_crawl_order"]
     sql["q79_sitemap_index"] = build_crawl_oracles(UNIT_SMAPIDX)["q81_crawl_seen"]
+    # q102: the media-dedup expectation over the media-heavy graph
+    from ..synth import UNIT_MEDIA
+
+    sql["q102_media_dedup"] = build_crawl_oracles(UNIT_MEDIA)["q102_media_dedup"]
     return sql

@@ -735,6 +735,54 @@ FROM r
 """
 
 
+# --- domain-level quality with empirical-Bayes shrinkage (P33) -----------
+
+def q103_domain_quality(spark, sf):
+    """P33: the Gopher/RefinedWeb-style DOMAIN filter — per source:
+    exact integer feature sums, a composite quality score computed
+    from those sums (partitioning-invariant: no order-sensitive
+    double accumulation), and the score shrunk toward the corpus
+    prior by pseudo-count 20, so thin domains aren't kept/killed on a
+    noisy mean (textstats.domain_quality)."""
+    d = T(spark, sf, "documents")
+    return textstats.domain_quality(d, "text", "source", k=20)
+
+
+SQL103 = r"""
+WITH f AS (
+  SELECT source,
+         length(t) AS n_chars,
+         len(w) AS n_words,
+         len(regexp_extract_all(t, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+  FROM (SELECT source, trim(text) AS t, string_split(trim(text), ' ') AS w
+        FROM documents)),
+a AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS sum_words,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(sum(n_punct) AS BIGINT) AS sum_punct,
+         CAST(sum(n_stop) AS BIGINT) AS sum_stop
+  FROM f GROUP BY source),
+s AS (
+  SELECT source, n_docs, sum_words,
+         round(least(1.0, (sum_words / n_docs) / 200.0) * 0.5
+               + (1 - least(1.0, sum_punct / sum_chars * 10)) * 0.25
+               + least(1.0, sum_stop / sum_words * 5) * 0.25, 6) AS score
+  FROM a),
+g AS (
+  SELECT round(least(1.0, (CAST(sum(n_words) AS BIGINT) / count(*)) / 200.0) * 0.5
+               + (1 - least(1.0, CAST(sum(n_punct) AS BIGINT)
+                                 / CAST(sum(n_chars) AS BIGINT) * 10)) * 0.25
+               + least(1.0, CAST(sum(n_stop) AS BIGINT)
+                            / CAST(sum(n_words) AS BIGINT) * 5) * 0.25, 6) AS prior
+  FROM f)
+SELECT source, n_docs, sum_words, score,
+       round((n_docs * score + 20 * prior) / (n_docs + 20), 6) AS score_shrunk
+FROM s, g
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -753,6 +801,7 @@ QUERIES = {
     "q95_curation": q95_curation,
     "q99_tfidf": q99_tfidf,
     "q100_warc_export": q100_warc_export,
+    "q103_domain_quality": q103_domain_quality,
 }
 
 ORACLE = {
@@ -773,4 +822,5 @@ ORACLE = {
     "q95_curation": SQL95,
     "q99_tfidf": SQL99,
     "q100_warc_export": SQL100,
+    "q103_domain_quality": SQL103,
 }

@@ -51,6 +51,12 @@ class GraphConfig:
     out_degree: int = 4
     cross_site_prob: float = 0.25
     media_prob: float = 0.35
+    # size of each host's media-asset namespace: media_ref ids are
+    # drawn mod this, so SMALL values force the same asset to recur
+    # across pages/hosts' docs — the cross-document duplication a
+    # media-dedup pass (P32, q102) exists to find. The default keeps
+    # refs effectively unique (the pre-P32 behavior, byte-identical).
+    asset_buckets: int = 10000
     batch_size: int = 32
     max_cycles: int = 8
     # politeness scale: multiplies per-host token capacity/refill so
@@ -410,7 +416,7 @@ class GraphConfig:
         n_extra = h64(self.seed, "nspan", i, j) % 4
         for s in range(n_extra):
             if (h64(self.seed, "kind", i, j, s) % 1000) / 1000.0 < self.media_prob:
-                ref = f"media://{self.host(i)}/asset-{h64(self.seed, 'asset', i, j, s) % 10000:04d}.bin"
+                ref = f"media://{self.host(i)}/asset-{h64(self.seed, 'asset', i, j, s) % self.asset_buckets:04d}.bin"
                 spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": offset})
                 offset += 64
             else:
@@ -521,6 +527,13 @@ UNIT_SMAPIDX = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # them in normal (score, seq) competition
 UNIT_RESEED = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                           max_cycles=10, reseed_after=4, reseed_k=5)
+# UNIT graph with a media-heavy payload and a TINY per-host asset
+# namespace (13 ids/host): the same media_ref recurs across many pages
+# of a host, so the corpus carries genuine cross-document duplicate
+# assets — what the media-dedup pass (P32, q102) must find and
+# canonicalize. media_prob 0.85 maximizes media spans per page.
+UNIT_MEDIA = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                         max_cycles=6, media_prob=0.85, asset_buckets=13)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,
