@@ -367,3 +367,49 @@ def test_q48_plan_is_pure_partial_agg(spark):
     assert "collect_list" not in p and "sort_array" not in p
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p
+
+
+def test_media_dedup_partial_agg_no_window(spark):
+    """q102 (P32): the cross-document media dedup must pick its
+    canonical keeper via a partial-aggregated min(struct) — a
+    corpus-hot logo ref then combines map-side instead of funneling
+    one window partition — with the whole pipeline JVM-side."""
+    from pyspark.sql import types as T
+
+    from crawlspark.schemas import SPAN
+    from tests.test_domain_media import _media_dedup
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN), False),
+    ])
+    df = spark.createDataFrame(
+        [("d1", [("media", "", "media://a/1", 10)])], schema
+    )
+    p = plan_of(_media_dedup(df))
+    assert "Window" not in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_domain_quality_broadcast_prior_partial_agg(spark):
+    """q103 (P33): the corpus prior must enter the plan as a BROADCAST
+    scalar row (never a shuffle against the domain table), the
+    per-source rollup must be a partial hash aggregate over integer
+    sums, and nothing leaves the JVM."""
+    import re
+
+    from crawlspark.operators import textstats
+
+    df = spark.createDataFrame(
+        [("text here", f"s{i % 3}") for i in range(30)],
+        "text string, source string",
+    )
+    p = plan_of(textstats.domain_quality(df))
+    assert "BroadcastNestedLoopJoin" in p  # 1-row prior, broadcast side
+    assert "EvalPython" not in p
+    assert "Window" not in p
+    # exactly the two aggregation shuffles the semantics require
+    # (per-source, global) — plus AQE bookkeeping at most
+    shuffles = [l for l in p.splitlines() if re.match(r"^\(\d+\) Exchange", l)]
+    assert len(shuffles) <= 2, shuffles
