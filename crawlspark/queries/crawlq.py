@@ -493,6 +493,63 @@ def q101_snapshot_diff(spark, sf):
     )
 
 
+def _engine_robrev(spark) -> CrawlEngine:
+    """UNIT_ROBREV scenario: crawl cycles 1-3, then host 0 re-publishes
+    robots.txt as deny-all (the C6 cache-TTL refresh) — applied through
+    CrawlEngine.update_politeness as one atomic commit — and the crawl
+    RESUMES through the normal checkpoint path (C16) for cycles 4-8."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-robrev"
+    if key not in _ENGINE_CACHE:
+        from ..robots import parse_robots
+        from ..synth import UNIT_ROBREV
+
+        g = UNIT_ROBREV
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=g, warehouse=wh))
+        eng.run(max_cycles=g.robots_revoke_after)
+        # the revised rules: compiled from the SAME re-published text
+        # the refsim compiles (synth.revoked_robots_txt — one source)
+        rules, _delay = parse_robots(g.revoked_robots_txt())
+        arr = F.array(*[
+            F.struct(
+                F.lit(r["allow"]).alias("allow"),
+                F.lit(r["prefix"]).alias("prefix"),
+                F.lit(r["pattern"]).cast("string").alias("pattern"),
+                F.lit(r["spec"]).alias("spec"),
+            )
+            for r in rules
+        ])
+        revoked = [g.host(i) for i in range(g.robots_revoke_hosts)]
+        hc = eng.cat.read("host_config")
+        hc2 = hc.withColumn(
+            "robots_rules",
+            F.when(F.col("host").isin(revoked), arr).otherwise(
+                F.col("robots_rules")
+            ),
+        )
+        eng.update_politeness(hc2)
+        eng.run()  # resume at cycle 4 from the politeness-update commit
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q104_robots_revision(spark, sf):
+    """C6 extension through the driver's harness: mid-crawl robots
+    revision (cache-TTL refresh). The full fetch-attempt order must
+    match the refsim replaying the same script — every attempt on the
+    revoked host at cycle ≤ 3, queued URLs pruned exactly once, the
+    survivors' (score, seq) ordering untouched, and zero
+    post-revision admissions on that host. Oracle: the UNIT_ROBREV
+    refsim's q80 expectation table (crawl_oracle.py)."""
+    return _engine_robrev(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
 def _engine_media(spark) -> CrawlEngine:
     """UNIT_MEDIA crawl: media-heavy pages drawing media_refs from a
     13-id-per-host asset namespace, so the same asset genuinely recurs
@@ -566,6 +623,7 @@ QUERIES = {
     "q89_time_travel": q89_time_travel,
     "q101_snapshot_diff": q101_snapshot_diff,
     "q102_media_dedup": q102_media_dedup,
+    "q104_robots_revision": q104_robots_revision,
 }
 
 ORACLE: dict[str, str] = {}
@@ -601,4 +659,9 @@ def build_oracle() -> dict[str, str]:
     from ..synth import UNIT_MEDIA
 
     sql["q102_media_dedup"] = build_crawl_oracles(UNIT_MEDIA)["q102_media_dedup"]
+    # q104: the full attempt order of the robots-revision scenario
+    # (its graph's q80 table)
+    from ..synth import UNIT_ROBREV
+
+    sql["q104_robots_revision"] = build_crawl_oracles(UNIT_ROBREV)["q80_crawl_order"]
     return sql

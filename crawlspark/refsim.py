@@ -232,4 +232,27 @@ class RefSim:
                     seen[u] = c
                     seq += 1
                     queued[u] = (0 + prio[host], seq, 0, host)
+            if cfg.robots_revoke_after == c:
+                # C6 robots revision (the engine's update_politeness):
+                # the revoked hosts' NEW rules — compiled from the same
+                # re-published text the engine scenario compiles — take
+                # effect between cycles: queued URLs on those hosts are
+                # pruned in one pass (they STAY in the seen set; the
+                # engine keeps url_seen append-only too), and the
+                # updated `rules` entry makes admit() refuse every
+                # later discovery on them. Scores/seqs of surviving
+                # rows are untouched, exactly the engine's re-score
+                # with unchanged priorities.
+                from .robots import parse_robots
+
+                new_rules, _d = parse_robots(cfg.revoked_robots_txt())
+                revoked = {
+                    cfg.host(i2) for i2 in range(cfg.robots_revoke_hosts)
+                }
+                for h2 in revoked:
+                    rules[h2] = new_rules
+                for u in [
+                    u for u, v in queued.items() if v[3] in revoked
+                ]:
+                    del queued[u]
         return res

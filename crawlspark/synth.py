@@ -114,6 +114,15 @@ class GraphConfig:
     # sitemap host actually has a file to declare it in.
     sitemap_nested: bool = False
     sitemaps_from_robots: bool = False
+    # C6 extension: scripted robots revision — the cache-TTL refresh a
+    # long crawl must do. After cycle robots_revoke_after COMMITS,
+    # hosts i < robots_revoke_hosts re-publish robots.txt as deny-all
+    # (`User-agent: *` / `Disallow: /`): the engine applies the new
+    # rules once via update_politeness (queued URLs on those hosts are
+    # pruned, discovery-time admission refuses them from then on); the
+    # refsim replays the identical script. None = off.
+    robots_revoke_after: int | None = None
+    robots_revoke_hosts: int = 1
     robots_all: bool = False
     # reseed knobs (C21): after cycle `reseed_after`, the
     # `reseed_k` lexicographically-first SEEN urls are actively
@@ -178,6 +187,13 @@ class GraphConfig:
             "Disallow: /*.tmp$\n"
             f"Crawl-delay: {self.crawl_delay_ms(i) / 1000}\n"
         )
+
+    def revoked_robots_txt(self) -> str:
+        """C6 revision script: the deny-all robots.txt a revoked host
+        re-publishes. Both the engine scenario and the refsim compile
+        THIS text through robots.parse_robots — single source, so the
+        revised decision can't diverge."""
+        return "User-agent: *\nDisallow: /\n"
 
     def robots_rules(self, i: int) -> list[dict]:
         """Rules as compiled from the REAL robots.txt text by the
@@ -527,6 +543,12 @@ UNIT_SMAPIDX = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # them in normal (score, seq) competition
 UNIT_RESEED = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                           max_cycles=10, reseed_after=4, reseed_k=5)
+# UNIT graph + a scripted robots revision (C6 cache refresh): after
+# cycle 3 commits, host 0 re-publishes robots.txt as deny-all — its
+# queued URLs are pruned in one update_politeness pass and no new URL
+# on it is ever admitted; cycles 4-8 crawl on without it
+UNIT_ROBREV = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                          max_cycles=8, robots_revoke_after=3)
 # UNIT graph with a media-heavy payload and a TINY per-host asset
 # namespace (13 ids/host): the same media_ref recurs across many pages
 # of a host, so the corpus carries genuine cross-document duplicate

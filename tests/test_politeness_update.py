@@ -84,3 +84,33 @@ def test_update_politeness_retires_missing_hosts(spark, tmp_path_factory):
         eng.cat.read("host_config").filter(F.col("host") == DENY_HOST).count()
         == 0
     )
+
+
+def test_refsim_robots_revision_script():
+    """The UNIT_ROBREV refsim script (the q104 oracle): host 0's
+    fetches stop at the revision cycle, no later admission lands on
+    it, survivors keep their (score, seq) ordering, and the crawl
+    continues on the other hosts."""
+    from dataclasses import replace
+
+    from crawlspark.refsim import RefSim
+    from crawlspark.synth import UNIT_ROBREV
+
+    res = RefSim(UNIT_ROBREV).run()
+    h0 = UNIT_ROBREV.host(0)
+    after = UNIT_ROBREV.robots_revoke_after
+    assert not any(
+        h == h0 and c > after
+        for (c, _p, _u, h, _s, _q, _d, _a, _ok) in res.order
+    )
+    assert any(h == h0 for (_c, _p, _u, h, *_r) in res.order)
+    assert max(c for (c, *_r) in res.order) == UNIT_ROBREV.max_cycles
+    # seen rows admitted pre-revision survive the prune (append-only)
+    pre_seen = {u for u, fc in res.seen.items() if fc <= after}
+    assert pre_seen <= set(res.seen)
+    # the revision only removes work: every attempt present in the
+    # revised run appears in the unrevised baseline at the same
+    # (cycle, batch_pos) until the revision cycle
+    base = RefSim(replace(UNIT_ROBREV, robots_revoke_after=None)).run()
+    pre = [r for r in res.order if r[0] <= after]
+    assert pre == [r for r in base.order if r[0] <= after]
