@@ -332,6 +332,64 @@ SELECT i, j, round(c, 6) AS cos FROM scored WHERE c >= 0.42
 """
 
 
+# --- int8 scalar-quantized top-k with exact re-rank (P34) ----------------
+
+def q105_quantized_topk(spark, sf):
+    """P34: SQ8 similarity — rank the corpus per query by cosine over
+    symmetric per-vector int8 quantizations (exact integer dot
+    products over 4×-smaller vectors: the bandwidth-bound pass at
+    100 TB), keep k·4 candidates, exact-re-rank only those. Oracle
+    replays the identical quantize/rank/re-rank pipeline (the
+    q61–q64 replayed-bucketing discipline)."""
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    return similarity.quantized_topk(q, corpus, k=3, expand=4)
+
+
+_Q8 = (
+    "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /"
+    " greatest(list_max(list_transform({v}, y -> abs(CAST(y AS DOUBLE)))),"
+    " 1e-30)) AS BIGINT))"
+)
+
+_DOT8 = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " x -> x[1] * x[2]), (acc, v) -> acc + v)"
+)
+
+
+def _dot8(a: str, b: str) -> str:
+    return _DOT8.format(a=a, b=b)
+
+
+SQL105 = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 10),
+q8t AS (SELECT q_id, qv, {_Q8.format(v='qv')} AS q8 FROM q),
+n8t AS (SELECT n_id, nv, {_Q8.format(v='nv')} AS n8 FROM n),
+scored AS (
+  SELECT q_id, n_id, qv, nv,
+         {_dot8('q8', 'n8')}
+         / (sqrt(CAST({_dot8('q8', 'q8')} AS DOUBLE))
+            * sqrt(CAST({_dot8('n8', 'n8')} AS DOUBLE))) AS c8
+  FROM n8t CROSS JOIN q8t),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c8 DESC, n_id ASC) AS r8
+  FROM scored),
+rr AS (
+  SELECT q_id, n_id, c8,
+         {_dot('qv', 'nv')} / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('nv', 'nv')})) AS c
+  FROM cand WHERE r8 <= 12),
+r AS (
+  SELECT q_id, n_id, c, c8,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id ASC) AS rnk
+  FROM rr)
+SELECT q_id, n_id, rnk, round(c, 6) AS cos, round(c8, 6) AS cos8
+FROM r WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "q57_embed_near_dups": q57_embed_near_dups,
     "q60_cosine_topk": q60_cosine_topk,
@@ -339,6 +397,7 @@ QUERIES = {
     "q62_ann_multiprobe": q62_ann_multiprobe,
     "q63_ann_banded": q63_ann_banded,
     "q64_ann_ivf": q64_ann_ivf,
+    "q105_quantized_topk": q105_quantized_topk,
 }
 
 ORACLE = {
@@ -348,4 +407,5 @@ ORACLE = {
     "q62_ann_multiprobe": SQL62,
     "q63_ann_banded": SQL63,
     "q64_ann_ivf": SQL64,
+    "q105_quantized_topk": SQL105,
 }

@@ -143,3 +143,26 @@ def test_domain_quality_partitioning_invariant(spark):
             map(tuple, textstats.domain_quality(df.repartition(n)).collect())
         )
         assert got == base
+
+
+def test_quantized_topk_matches_exact_and_is_invariant(spark):
+    """P34 (q105): on the driver embeddings the SQ8 prefilter at
+    expand=4 loses nothing — top-3 set equals the exact brute-force
+    top-3 — and the two-stage pipeline is partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") >= 10)
+    quant = similarity.quantized_topk(q, c, k=3, expand=4)
+    base = sorted(map(tuple, quant.collect()))
+    exact = similarity.brute_topk(q, c, k=3)
+    assert {(r["q_id"], r["n_id"]) for r in quant.collect()} == {
+        (r["q_id"], r["n_id"]) for r in exact.collect()
+    }
+    got = sorted(
+        map(tuple, similarity.quantized_topk(q.repartition(3), c.repartition(7), k=3, expand=4).collect())
+    )
+    assert got == base
