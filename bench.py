@@ -46,6 +46,7 @@ HEADLINE = [
     # new round-4 components
     "q95_curation",
     "q99_tfidf",
+    "q105_quantized_topk",
 ]
 
 
