@@ -320,6 +320,72 @@ FROM kept GROUP BY id
 """
 
 
+# --- leakage-safe corpus split (P35) --------------------------------------
+
+def q106_leakage_safe_split(spark, sf):
+    """P35: train/val assignment by near-dup CLUSTER, not by document —
+    the data-leakage rule every eval pipeline needs: if a doc's
+    near-duplicate lands in val while the doc trains, the benchmark is
+    contaminated from inside the corpus. Group = connected component
+    of the MinHash+LSH near-dup graph (q52/q56 machinery; singletons
+    group as themselves); split = md5(group_id) mod 1000 < 100 → val
+    (10% holdout) — deterministic and partitioning-invariant, so a
+    resumed 100 TB job re-draws the identical split, and BY
+    CONSTRUCTION no near-dup pair straddles it."""
+    from ..operators import graph
+
+    docs = T(spark, sf, "documents")
+    pairs = dedup.minhash_near_dups(docs, "doc_id", "text", k=2, n_hashes=8,
+                                    bands=4, threshold=0.5)
+    comp = graph.connected_components(pairs.select("i", "j"))
+    d = docs.select(F.col("doc_id").alias("id")).join(comp, "id", "left")
+    return d.select(
+        "id",
+        F.coalesce("component", F.col("id")).alias("group_id"),
+    ).withColumn(
+        "split",
+        F.when(
+            md5hash60(F.col("group_id").cast("string")) % 1000 < 100, "val"
+        ).otherwise("train"),
+    )
+
+
+SQL106 = f"""
+WITH RECURSIVE {SH_CTE}, {SIG_CTE},
+bands AS (
+  SELECT id, j // 2 AS band,
+         string_agg(CAST(minh AS VARCHAR), '#' ORDER BY j) AS bs
+  FROM sig GROUP BY 1, 2),
+bh AS (SELECT id, band, {_H("bs")} AS band_hash FROM bands),
+cand AS (
+  SELECT DISTINCT a.id AS i, b2.id AS j
+  FROM bh a JOIN bh b2
+    ON a.band = b2.band AND a.band_hash = b2.band_hash AND a.id < b2.id),
+inter AS (
+  SELECT c.i, c.j, count(*) AS n_inter
+  FROM cand c JOIN sh a ON a.id = c.i
+              JOIN sh b ON b.id = c.j AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT i, j FROM inter JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+  WHERE n_inter / (si.n + sj.n - n_inter) >= 0.5),
+e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+sel AS (
+  SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+SELECT id, group_id,
+       CASE WHEN {_H("CAST(group_id AS VARCHAR)")} % 1000 < 100
+            THEN 'val' ELSE 'train' END AS split
+FROM sel
+"""
+
+
 QUERIES = {
     "q50_exact_dedup": q50_exact_dedup,
     "q59_chunk_dedup": q59_chunk_dedup,
@@ -330,6 +396,7 @@ QUERIES = {
     "q55_chargram_pairs": q55_chargram_pairs,
     "q56_dedup_clusters": q56_dedup_clusters,
     "q70_incremental_dedup": q70_incremental_dedup,
+    "q106_leakage_safe_split": q106_leakage_safe_split,
 }
 
 ORACLE = {
@@ -342,4 +409,5 @@ ORACLE = {
     "q55_chargram_pairs": SQL55,
     "q56_dedup_clusters": SQL56,
     "q70_incremental_dedup": SQL70,
+    "q106_leakage_safe_split": SQL106,
 }

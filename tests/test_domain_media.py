@@ -166,3 +166,45 @@ def test_quantized_topk_matches_exact_and_is_invariant(spark):
         map(tuple, similarity.quantized_topk(q.repartition(3), c.repartition(7), k=3, expand=4).collect())
     )
     assert got == base
+
+
+def test_leakage_safe_split_no_straddling_pair(spark):
+    """P35 (q106): by construction no near-dup pair may straddle the
+    train/val split, both splits must be populated, and the
+    assignment must be partitioning-invariant."""
+    from crawlspark.operators import dedup, graph
+    from crawlspark.queries.dedupq import q106_leakage_safe_split
+
+    sf = "/root/testdata/sf0.01"
+    out = q106_leakage_safe_split(spark, sf)
+    rows = out.collect()
+    split_of = {r["id"]: r["split"] for r in rows}
+    assert {r["split"] for r in rows} == {"train", "val"}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = dedup.minhash_near_dups(
+        docs, "doc_id", "text", k=2, n_hashes=8, bands=4, threshold=0.5
+    ).collect()
+    assert pairs, "corpus must actually contain near-dup pairs"
+    for p in pairs:
+        assert split_of[p["i"]] == split_of[p["j"]], (p["i"], p["j"])
+    # invariance: same assignment regardless of input partitioning
+    base = sorted(map(tuple, rows))
+    docs13 = docs.repartition(13)
+    pairs13 = dedup.minhash_near_dups(
+        docs13, "doc_id", "text", k=2, n_hashes=8, bands=4, threshold=0.5
+    )
+    from pyspark.sql import functions as F
+
+    from crawlspark.portable import md5hash60
+
+    comp = graph.connected_components(pairs13.select("i", "j"))
+    d = docs13.select(F.col("doc_id").alias("id")).join(comp, "id", "left")
+    again = d.select(
+        "id", F.coalesce("component", F.col("id")).alias("group_id")
+    ).withColumn(
+        "split",
+        F.when(
+            md5hash60(F.col("group_id").cast("string")) % 1000 < 100, "val"
+        ).otherwise("train"),
+    )
+    assert sorted(map(tuple, again.collect())) == base
