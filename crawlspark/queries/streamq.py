@@ -312,6 +312,51 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def q107_stream_enrich(spark, sf):
+    """S9 stream-static enrichment join: the event stream joined to a
+    BATCH dimension (customer → nation) — the lookup-enrichment every
+    production pipeline runs (stream facts, slowly-changing dims). The
+    static side broadcasts: no state, no watermark needed (unlike
+    stream-stream S8), each micro-batch hash-joins against the pinned
+    dim snapshot — at 100 TB/day the dim re-broadcasts per trigger,
+    never accumulates. Unmatched users keep their rows (left join,
+    nation -1). Complete-mode rollup over a finite source equals the
+    batch join, so the oracle is the plain DuckDB join."""
+    from . import pin_session
+
+    pin_session(spark)
+    name = f"q107_sink_{next(_COUNTER)}"
+    stream = S.file_stream(spark, _events_dir(sf), S.EVENTS_SCHEMA)
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = stream.join(F.broadcast(cust), "user_id", "left")
+    agg = joined.groupBy(
+        F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nation"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("nation", "event_type", "n", "sum_value")
+
+
+SQL107 = """
+SELECT coalesce(c.c_nationkey, -1) AS nation, e.event_type,
+       count(*) AS n, round(sum(e.value), 2) AS sum_value
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q90_stream_window_rates": q90_stream_window_rates,
     "q91_stream_sessions": q91_stream_sessions,
@@ -319,6 +364,7 @@ QUERIES = {
     "q93_crawl_stream_rates": q93_crawl_stream_rates,
     "q94_stream_distinct": q94_stream_distinct,
     "q97_stream_join": q97_stream_join,
+    "q107_stream_enrich": q107_stream_enrich,
 }
 
 ORACLE = {
@@ -326,6 +372,7 @@ ORACLE = {
     "q91_stream_sessions": SQL91,
     "q94_stream_distinct": SQL94,
     "q97_stream_join": SQL97,
+    "q107_stream_enrich": SQL107,
 }
 
 
