@@ -249,6 +249,7 @@ class CrawlEngine:
         f0 = f0.withColumn("rn", F.row_number().over(w_dedup)).filter(F.col("rn") == 1)
         f0 = schedule.with_salt(f0, self.cfg.n_salt)
         f0 = f0.withColumn("depth", F.lit(0))
+        f0 = politeness.scope_filter(f0, g)
         f0 = schedule.with_score(f0)
         # seed seq = seed-list position; rank distributed above ~64k
         # seeds (DESIGN-tier seed lists are 300k+ — same no-funnel
@@ -407,6 +408,7 @@ class CrawlEngine:
         )
         cand = with_url_parts(cand)
         cand = politeness.robots_filter(cand, hc)
+        cand = politeness.scope_filter(cand, g)
         cand = schedule.with_score(cand)
         cand = schedule.with_salt(cand, self.cfg.n_salt)
         cand = cand.withColumn("part", self._part())
@@ -828,6 +830,7 @@ class CrawlEngine:
         f = politeness.robots_filter(f, hc)
         f = schedule.with_salt(f, self.cfg.n_salt)
         f = f.withColumn("depth", F.lit(0))
+        f = politeness.scope_filter(f, self.cfg.graph)
         f = schedule.with_score(f)
         pre = f.persist()
         n = pre.count()

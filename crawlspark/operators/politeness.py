@@ -133,3 +133,18 @@ def backoff_caps(sched: DataFrame, host_config: DataFrame) -> DataFrame:
         .otherwise(F.col("cap"))
         .alias("new_cap"),
     )
+
+
+def scope_filter(df: DataFrame, g) -> DataFrame:
+    """C29/C30 crawl-scope controls, applied at the same admission
+    point as robots rejection: depth cap (drop candidates deeper than
+    g.max_depth hops from the seeds) and URL deny patterns (JVM
+    `rlike` over url_norm; patterns restricted to the Java∩RE2∩Python
+    regex subset so the refsim's `re.search` twin decides
+    identically). Both knobs default off — this is then the identity
+    and adds nothing to the plan."""
+    if g.max_depth is not None:
+        df = df.filter(F.col("depth") <= F.lit(g.max_depth))
+    for p in g.url_deny:
+        df = df.filter(~F.col("url_norm").rlike(p))
+    return df

@@ -550,6 +550,39 @@ def q104_robots_revision(spark, sf):
     )
 
 
+def _engine_scope(spark) -> CrawlEngine:
+    """UNIT_SCOPE crawl: Scrapy-style crawl-scope controls — depth
+    capped at 2 from the seeds (C29) and pages /p10–/p19 denied by URL
+    pattern (C30), both enforced at the admission point."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-scope"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_SCOPE
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_SCOPE, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q108_crawl_scope(spark, sf):
+    """C29 (depth cap) + C30 (URL deny patterns) through the driver's
+    harness: the full fetch-attempt order of the scoped crawl must
+    match the refsim applying the same rules at its admission point —
+    no attempt deeper than 2, no /p1N page ever scheduled, and the
+    surviving frontier's (score, seq) competition identical. Unscoped,
+    this graph crawls to depth 3 and 15 more attempts — the scope
+    rules, not the cycle budget, are what bound it. Oracle: the
+    UNIT_SCOPE refsim's q80 table (crawl_oracle.py)."""
+    return _engine_scope(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
 def _engine_media(spark) -> CrawlEngine:
     """UNIT_MEDIA crawl: media-heavy pages drawing media_refs from a
     13-id-per-host asset namespace, so the same asset genuinely recurs
@@ -624,6 +657,7 @@ QUERIES = {
     "q101_snapshot_diff": q101_snapshot_diff,
     "q102_media_dedup": q102_media_dedup,
     "q104_robots_revision": q104_robots_revision,
+    "q108_crawl_scope": q108_crawl_scope,
 }
 
 ORACLE: dict[str, str] = {}
@@ -664,4 +698,8 @@ def build_oracle() -> dict[str, str]:
     from ..synth import UNIT_ROBREV
 
     sql["q104_robots_revision"] = build_crawl_oracles(UNIT_ROBREV)["q80_crawl_order"]
+    # q108: the full attempt order of the crawl-scope scenario
+    from ..synth import UNIT_SCOPE
+
+    sql["q108_crawl_scope"] = build_crawl_oracles(UNIT_SCOPE)["q80_crawl_order"]
     return sql

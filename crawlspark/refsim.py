@@ -21,6 +21,7 @@ the driver's process; tests/refsim.py re-exports it.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 from urllib.parse import urljoin, urlsplit
 
@@ -96,6 +97,13 @@ class RefSim:
             if host not in rules:
                 return
             if not robots_allowed(path, rules[host]):
+                return
+            # C29/C30 crawl scope: depth cap + URL deny patterns are
+            # decided at the same admission point as robots rejection
+            # (engine: politeness.scope_filter at each robots site)
+            if cfg.max_depth is not None and depth > cfg.max_depth:
+                return
+            if cfg.url_deny and any(re.search(p, u) for p in cfg.url_deny):
                 return
             if base is not None:
                 cyc_cands.add(u)

@@ -123,6 +123,15 @@ class GraphConfig:
     # refsim replays the identical script. None = off.
     robots_revoke_after: int | None = None
     robots_revoke_hosts: int = 1
+    # C29/C30 crawl-scope controls (Scrapy-style): max_depth caps
+    # link-following distance from the seeds (None = unbounded);
+    # url_deny is a tuple of regexes (kept in the Java∩RE2∩Python
+    # subset, like the PII patterns) — any match at admission drops
+    # the URL before dedup/seen, exactly where robots rejection
+    # happens. Both default off: the admission path is byte-identical
+    # for every existing graph.
+    max_depth: int | None = None
+    url_deny: tuple = ()
     robots_all: bool = False
     # reseed knobs (C21): after cycle `reseed_after`, the
     # `reseed_k` lexicographically-first SEEN urls are actively
@@ -543,6 +552,14 @@ UNIT_SMAPIDX = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # them in normal (score, seq) competition
 UNIT_RESEED = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                           max_cycles=10, reseed_after=4, reseed_k=5)
+# UNIT graph + crawl-scope controls (C29/C30): depth capped at 2 from
+# the seeds AND pages /p10–/p19 denied by URL pattern — the per-site
+# include/exclude scoping a production spider configures. 8 cycles so
+# the unscoped graph would keep discovering (the cap must be what
+# stops it, not the budget).
+UNIT_SCOPE = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                         max_cycles=8, max_depth=2,
+                         url_deny=(r"/p1[0-9]$",))
 # UNIT graph + a scripted robots revision (C6 cache refresh): after
 # cycle 3 commits, host 0 re-publishes robots.txt as deny-all — its
 # queued URLs are pruned in one update_politeness pass and no new URL

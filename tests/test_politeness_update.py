@@ -114,3 +114,35 @@ def test_refsim_robots_revision_script():
     base = RefSim(replace(UNIT_ROBREV, robots_revoke_after=None)).run()
     pre = [r for r in res.order if r[0] <= after]
     assert pre == [r for r in base.order if r[0] <= after]
+
+
+def test_scope_filter_identity_when_off(spark):
+    """C29/C30 default-off contract: with no scope knobs set,
+    scope_filter must return the input DataFrame object itself — the
+    existing admission plan is untouched."""
+    from crawlspark.operators import politeness
+    from crawlspark.synth import UNIT
+
+    df = spark.range(3).withColumnRenamed("id", "depth")
+    assert politeness.scope_filter(df, UNIT) is df
+
+
+def test_refsim_crawl_scope_rules():
+    """The UNIT_SCOPE refsim script (the q108 oracle): nothing deeper
+    than max_depth is ever scheduled, no denied URL enters the seen
+    set, and the scope rules — not the cycle budget — are what bound
+    the crawl (the unscoped twin goes deeper and further)."""
+    import re
+    from dataclasses import replace
+
+    from crawlspark.refsim import RefSim
+    from crawlspark.synth import UNIT_SCOPE
+
+    res = RefSim(UNIT_SCOPE).run()
+    assert max(o[6] for o in res.order) == UNIT_SCOPE.max_depth
+    assert not any(
+        re.search(p, u) for p in UNIT_SCOPE.url_deny for u in res.seen
+    )
+    base = RefSim(replace(UNIT_SCOPE, max_depth=None, url_deny=())).run()
+    assert max(o[6] for o in base.order) > UNIT_SCOPE.max_depth
+    assert len(base.seen) > len(res.seen)
