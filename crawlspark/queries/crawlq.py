@@ -583,6 +583,39 @@ def q108_crawl_scope(spark, sf):
     )
 
 
+def _engine_delay(spark) -> CrawlEngine:
+    """UNIT_DELAY crawl: token refill derived from each host's
+    declared robots Crawl-delay (C31) instead of the synthetic config
+    rate — the crawl-delay → token-bucket linkage."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-delay"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_DELAY
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_DELAY, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q109_delay_politeness(spark, sf):
+    """C31 through the driver's harness: with delay_driven_refill on,
+    each host's per-cycle token refill is floor(cycle_duration /
+    its declared robots Crawl-delay) — politeness paced by what the
+    HOST published, not a synthetic rate. The full fetch-attempt
+    order must match the refsim accumulating the same derived rates
+    (it differs from the UNIT baseline order, so the linkage is what
+    this checks, not a replay of q80). Oracle: the UNIT_DELAY
+    refsim's q80 table (crawl_oracle.py)."""
+    return _engine_delay(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
 def _engine_media(spark) -> CrawlEngine:
     """UNIT_MEDIA crawl: media-heavy pages drawing media_refs from a
     13-id-per-host asset namespace, so the same asset genuinely recurs
@@ -658,6 +691,7 @@ QUERIES = {
     "q102_media_dedup": q102_media_dedup,
     "q104_robots_revision": q104_robots_revision,
     "q108_crawl_scope": q108_crawl_scope,
+    "q109_delay_politeness": q109_delay_politeness,
 }
 
 ORACLE: dict[str, str] = {}
@@ -702,4 +736,8 @@ def build_oracle() -> dict[str, str]:
     from ..synth import UNIT_SCOPE
 
     sql["q108_crawl_scope"] = build_crawl_oracles(UNIT_SCOPE)["q80_crawl_order"]
+    # q109: the attempt order under Crawl-delay-derived refill
+    from ..synth import UNIT_DELAY
+
+    sql["q109_delay_politeness"] = build_crawl_oracles(UNIT_DELAY)["q80_crawl_order"]
     return sql

@@ -132,6 +132,14 @@ class GraphConfig:
     # for every existing graph.
     max_depth: int | None = None
     url_deny: tuple = ()
+    # C31: derive each host's token refill from its robots.txt
+    # Crawl-delay directive — refill/cycle = cycle_duration / delay —
+    # so the politeness rate is governed by what the HOST declared,
+    # not a synthetic config value (the crawl-delay → token-bucket
+    # linkage the north rule names). Off by default: the synthetic
+    # refill keeps every existing graph byte-identical.
+    delay_driven_refill: bool = False
+    cycle_duration_ms: int = 10_000
     robots_all: bool = False
     # reseed knobs (C21): after cycle `reseed_after`, the
     # `reseed_k` lexicographically-first SEEN urls are actively
@@ -161,6 +169,16 @@ class GraphConfig:
         return float((2 + h64(self.seed, "cap", i) % 7) * self.token_mult)
 
     def refill_per_cycle(self, i: int) -> float:
+        if self.delay_driven_refill:
+            # C31: the host's declared Crawl-delay sets its rate,
+            # QUANTIZED to whole tokens (floor, min 1): integer-valued
+            # floats keep the engine's lazy `tokens + refill×Δ` and
+            # the refsim's per-cycle `tokens + refill` additions
+            # bit-identical (fractional rates could differ in the last
+            # ulp between the two accumulation shapes), and the ≥1
+            # floor keeps every allowed host live. delay 100 ms →
+            # 10 tokens/1 s cycle … 1000+ ms → 1.
+            return float(max(1, self.cycle_duration_ms // self.crawl_delay_ms(i)))
         return float((1 + h64(self.seed, "refill", i) % 4) * self.token_mult)
 
     def crawl_delay_ms(self, i: int) -> int:
@@ -552,6 +570,14 @@ UNIT_SMAPIDX = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # them in normal (score, seq) competition
 UNIT_RESEED = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                           max_cycles=10, reseed_after=4, reseed_k=5)
+# UNIT graph + Crawl-delay-driven politeness (C31): each host's token
+# refill derives from its declared robots Crawl-delay (100–2000 ms →
+# 40…2 tokens per 4 s cycle) instead of the synthetic refill — the
+# drain order shifts wherever a host's declared rate differs from the
+# synthetic one, and the refsim replays the same derived rates
+UNIT_DELAY = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                         max_cycles=6, delay_driven_refill=True,
+                         cycle_duration_ms=4000)
 # UNIT graph + crawl-scope controls (C29/C30): depth capped at 2 from
 # the seeds AND pages /p10–/p19 denied by URL pattern — the per-site
 # include/exclude scoping a production spider configures. 8 cycles so

@@ -146,3 +146,28 @@ def test_refsim_crawl_scope_rules():
     base = RefSim(replace(UNIT_SCOPE, max_depth=None, url_deny=())).run()
     assert max(o[6] for o in base.order) > UNIT_SCOPE.max_depth
     assert len(base.seen) > len(res.seen)
+
+
+def test_refsim_delay_driven_refill():
+    """C31 (the q109 oracle): with delay_driven_refill on, each host's
+    refill is floor(cycle_duration / its declared Crawl-delay), whole
+    tokens with a liveness floor of 1 — and the drain order genuinely
+    differs from the synthetic-refill baseline (the linkage binds)."""
+    from crawlspark.refsim import RefSim
+    from crawlspark.synth import UNIT, UNIT_DELAY
+
+    for i in range(UNIT_DELAY.n_sites):
+        expect = max(
+            1, UNIT_DELAY.cycle_duration_ms // UNIT_DELAY.crawl_delay_ms(i)
+        )
+        assert UNIT_DELAY.refill_per_cycle(i) == float(expect)
+        assert UNIT_DELAY.refill_per_cycle(i).is_integer()
+    res = RefSim(UNIT_DELAY).run()
+    base = RefSim(UNIT).run()
+    assert res.order != base.order
+    # same discovered universe in the end (politeness paces, it does
+    # not exclude): seen keys must agree up to budget effects — every
+    # delay-run discovery is a baseline discovery or vice versa is
+    # NOT required, but both must include all seeds
+    seeds = {u for u, c in res.seen.items() if c == 0}
+    assert seeds == {u for u, c in base.seen.items() if c == 0}
