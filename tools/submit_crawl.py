@@ -23,6 +23,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--n-salt", type=int, default=16)
     ap.add_argument("--n-seen-parts", type=int, default=16)
+    ap.add_argument("--sidecar", choices=["bloom", "cuckoo"],
+                    default="bloom")
     args = ap.parse_args()
 
     spark = (
