@@ -567,3 +567,89 @@ def test_backoff_caps_rule(spark):
         for r in politeness.backoff_caps(sched, hc).collect()
     }
     assert got == {"a": (1, 3.0), "b": (1, 6.0), "c": (2, 1.0)}
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(min_value=-100.0, max_value=100.0,
+                  allow_nan=False, allow_infinity=False, width=32),
+        min_size=2, max_size=16,
+    )
+)
+def test_quantize8_numpy_twin(vec):
+    """P34 public-definition property: the SQ8 quantization rule
+    q_i = round_half_up(127·x/max|x|) computed by an independent
+    numpy/Decimal twin — values in [-127, 127], sign preserved, the
+    max-magnitude element always hits ±127 (unless all-zero), and the
+    quantized cosine of a vector with itself is exactly 1."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    mx = max(abs(float(x)) for x in vec)
+    s = max(mx, 1e-30)
+    q = [
+        int(Decimal(repr(float(x) * 127.0 / s)).quantize(Decimal("1"), ROUND_HALF_UP))
+        for x in vec
+    ]
+    assert all(-127 <= v <= 127 for v in q)
+    for x, v in zip(vec, q):
+        if x > 0:
+            assert v >= 0
+        if x < 0:
+            assert v <= 0
+    if mx >= 1e-30:
+        # below the scale clamp everything legitimately rounds to 0
+        assert max(abs(v) for v in q) == 127
+    n2 = sum(v * v for v in q)
+    if n2:
+        c = n2 / (math.sqrt(float(n2)) * math.sqrt(float(n2)))
+        assert abs(c - 1.0) < 1e-12
+
+
+def test_quantize8_spark_matches_twin(spark):
+    """The JVM quantize8 column must emit exactly the numpy/Decimal
+    twin's integers on a fixed awkward corpus (halfway values,
+    negatives, tiny magnitudes)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.similarity import quantize8
+
+    vecs = [
+        [1.0, -1.0, 0.5, -0.5, 0.25],
+        [3.0, 1.5, -1.5, 0.0, 2.9999],
+        [1e-9, -1e-9, 5e-10, 0.0, 1e-9],
+        [100.0, -50.0, 25.0, -12.5, 6.25],
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<float>")
+    qcol, _s = quantize8(F.col("v"))
+    got = [r[0] for r in df.select(qcol).collect()]
+    for v, g in zip(vecs, got):
+        s = max(max(abs(float(np.float32(x))) for x in v), 1e-30)
+        twin = [
+            int(Decimal(repr(float(np.float32(x)) * 127.0 / s))
+                .quantize(Decimal("1"), ROUND_HALF_UP))
+            for x in v
+        ]
+        assert list(g) == twin, (v, list(g), twin)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    host=st.integers(min_value=0, max_value=4),
+    page=st.integers(min_value=0, max_value=39),
+)
+def test_scope_deny_pattern_python_java_subset(host, page):
+    """C30 public-definition property: for the UNIT_SCOPE deny pattern
+    (Java∩RE2∩Python subset), Python re.search on the canonical URL —
+    the refsim's decision — flags exactly the pages /p10–/p19."""
+    import re
+
+    from crawlspark.synth import UNIT_SCOPE
+
+    u = UNIT_SCOPE.page_url(host, page)
+    # both /pN and /private/pN paths end in /pN, so the pattern keys
+    # purely on the page number
+    assert bool(re.search(UNIT_SCOPE.url_deny[0], u)) == (10 <= page <= 19)
