@@ -618,12 +618,39 @@ class CrawlEngine:
                     None,
                 ))
         if n_docs:
-            writes.append((
-                "append", "documents",
-                docs.filter(F.col("ok") & F.col("redirect_to").isNull())
-                .select("doc_id", "fetch_cycle", "host", "spans"),
-                None,
-            ))
+            new_docs = docs.filter(
+                F.col("ok") & F.col("redirect_to").isNull()
+            ).select("doc_id", "fetch_cycle", "host", "spans")
+            if g.conditional_fetch:
+                # C32 conditional re-fetch: a re-fetch whose content
+                # signature equals the LAST stored version is a 304 —
+                # drop it here so unchanged pages cost zero storage.
+                # md5-60 of the canonical span JSON is the signature
+                # discipline used everywhere (collision ≈ 2^-60).
+                # NOTE (scale): this scans the documents log for the
+                # latest sig per doc — acceptable because the knob is
+                # a revisit-scenario feature; a 10^10-doc deployment
+                # keeps a (doc_id, last_sig) index table maintained by
+                # this same append, exactly the incremental-dedup
+                # band-index pattern (dedup.py).
+                from .portable import md5hash60
+
+                sig = md5hash60(F.to_json("spans"))
+                prev = (
+                    self.cat.read("documents", snap)
+                    .groupBy("doc_id")
+                    .agg(F.max_by(sig, F.col("fetch_cycle")).alias("prev_sig"))
+                )
+                new_docs = (
+                    new_docs.withColumn("_sig", sig)
+                    .join(prev, "doc_id", "left")
+                    .filter(
+                        F.col("prev_sig").isNull()
+                        | (F.col("prev_sig") != F.col("_sig"))
+                    )
+                    .select("doc_id", "fetch_cycle", "host", "spans")
+                )
+            writes.append(("append", "documents", new_docs, None))
         if n_redir:
             # C24: record every successful hop (alias → canonical
             # Location) even when the target was already seen — the

@@ -616,6 +616,45 @@ def q109_delay_politeness(spark, sf):
     )
 
 
+def _engine_cond(spark) -> CrawlEngine:
+    """UNIT_COND scenario: the UNIT_REV versioned-content + freshness
+    re-crawl script with conditional fetch (C32) on — unchanged
+    re-fetches are 304s and store nothing."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-cond"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_COND
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_COND, warehouse=wh))
+        eng.run(max_cycles=UNIT_COND.revisit_after)
+        eng.revisit(UNIT_COND.revisit_min_age)
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q110_conditional_fetch(spark, sf):
+    """C32 through the driver's harness: per-doc version history under
+    conditional re-fetch — the If-Modified-Since/ETag economy. Same
+    revisit script as q71, but a re-fetch whose span signature equals
+    the last stored version is a 304 and must NOT mint a version; the
+    refsim replays the identical rule, so any doc that stores an
+    unchanged copy (or drops a changed one) shifts a row. Oracle: the
+    UNIT_COND refsim's version-history table (crawl_oracle.py)."""
+    from ..portable import md5hash60
+
+    docs = _engine_cond(spark).documents()
+    return docs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.countDistinct(md5hash60(F.to_json("spans"))).alias("n_distinct_sigs"),
+        F.min("fetch_cycle").alias("first_fetch"),
+        F.max("fetch_cycle").alias("last_fetch"),
+    )
+
+
 def _engine_media(spark) -> CrawlEngine:
     """UNIT_MEDIA crawl: media-heavy pages drawing media_refs from a
     13-id-per-host asset namespace, so the same asset genuinely recurs
@@ -692,6 +731,7 @@ QUERIES = {
     "q104_robots_revision": q104_robots_revision,
     "q108_crawl_scope": q108_crawl_scope,
     "q109_delay_politeness": q109_delay_politeness,
+    "q110_conditional_fetch": q110_conditional_fetch,
 }
 
 ORACLE: dict[str, str] = {}
@@ -740,4 +780,10 @@ def build_oracle() -> dict[str, str]:
     from ..synth import UNIT_DELAY
 
     sql["q109_delay_politeness"] = build_crawl_oracles(UNIT_DELAY)["q80_crawl_order"]
+    # q110: the version-history expectation under conditional fetch
+    # (its graph's q71 table — the refsim's doc_log already applies
+    # the 304 rule when the config sets conditional_fetch)
+    from ..synth import UNIT_COND
+
+    sql["q110_conditional_fetch"] = build_crawl_oracles(UNIT_COND)["q71_revisit_versions"]
     return sql

@@ -181,8 +181,20 @@ class RefSim:
                     continue
                 n_docs += 1
                 spans = cfg.page_spans(i, j, cfg.page_rev(i, j, c))
-                res.docs[u] = (c, spans)
-                res.doc_log.append((u, c, spans))
+                if (
+                    cfg.conditional_fetch
+                    and u in res.docs
+                    and res.docs[u][1] == spans
+                ):
+                    # C32: 304 — content identical to the last stored
+                    # version; no new version lands (the engine drops
+                    # it by sig equality: identical spans ⟺ identical
+                    # canonical JSON ⟺ identical md5-60). Links below
+                    # still extract — the fetch itself happened.
+                    pass
+                else:
+                    res.docs[u] = (c, spans)
+                    res.doc_log.append((u, c, spans))
                 for span in spans:
                     if span["kind"] == "text":
                         for raw in extract_links_from_text(span["text"]):

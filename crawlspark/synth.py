@@ -140,6 +140,13 @@ class GraphConfig:
     # refill keeps every existing graph byte-identical.
     delay_driven_refill: bool = False
     cycle_duration_ms: int = 10_000
+    # C32: conditional re-fetch economy (If-Modified-Since/ETag
+    # analogue). When on, a successful re-fetch whose content
+    # signature equals the LAST stored version is a 304: the attempt
+    # is logged and links still extract, but NO new document version
+    # is written — re-crawling unchanged pages costs zero storage.
+    # Off by default: every fetch stores, as before.
+    conditional_fetch: bool = False
     robots_all: bool = False
     # reseed knobs (C21): after cycle `reseed_after`, the
     # `reseed_k` lexicographically-first SEEN urls are actively
@@ -570,6 +577,14 @@ UNIT_SMAPIDX = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # them in normal (score, seq) competition
 UNIT_RESEED = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                           max_cycles=10, reseed_after=4, reseed_k=5)
+# UNIT_REV scenario + conditional fetch (C32): same versioned content
+# and scripted freshness re-crawl, but unchanged re-fetches are 304s —
+# only genuinely re-published pages mint new document versions, so
+# every stored doc has n_versions == adjacent-distinct sig runs
+UNIT_COND = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                        max_cycles=9, revision_every=3,
+                        revisit_after=6, revisit_min_age=3,
+                        conditional_fetch=True)
 # UNIT graph + Crawl-delay-driven politeness (C31): each host's token
 # refill derives from its declared robots Crawl-delay (100–2000 ms →
 # 40…2 tokens per 4 s cycle) instead of the synthetic refill — the

@@ -63,3 +63,33 @@ def test_engine_matches_refsim_with_revisit(spark):
     )
     want_docs = sorted((u, c) for u, c, _s in ref.doc_log)
     assert got_docs == want_docs
+
+
+def test_refsim_conditional_fetch_versions():
+    """C32 (the q110 oracle): under conditional fetch every stored
+    version differs from its predecessor (re-storing an unchanged
+    page is forbidden), the stored log is a subset of the
+    unconditional run's, and genuinely-changed pages still land all
+    their versions."""
+    from crawlspark.refsim import RefSim
+    from crawlspark.synth import UNIT_COND, UNIT_REV
+
+    cond = RefSim(UNIT_COND).run()
+    rev = RefSim(UNIT_REV).run()
+    assert len(cond.doc_log) < len(rev.doc_log)
+    last: dict = {}
+    for u, _c, s in cond.doc_log:
+        assert last.get(u) != s, f"{u} stored an unchanged version"
+        last[u] = s
+    # distinct-sig version sequences agree with the unconditional run:
+    # conditional mode drops only exact-repeat adjacents
+    def runs(log):
+        seqs: dict = {}
+        for u, _c, s in log:
+            key = repr(s)
+            prev = seqs.setdefault(u, [])
+            if not prev or prev[-1] != key:
+                prev.append(key)
+        return seqs
+
+    assert runs(cond.doc_log) == runs(rev.doc_log)
