@@ -783,6 +783,73 @@ FROM s, g
 """
 
 
+# --- compression-ratio quality signal (P36) -------------------------------
+
+def q111_compression_quality(spark, sf):
+    """P36: per-doc zlib compression ratio (Gopher/FineWeb quality
+    heuristic) — one Arrow-batched pandas UDF, zero shuffles. Oracle:
+    a sequential pure-Python zlib pass over the same parquet written
+    as expectation parquet at oracle-build time (textq.build_oracle)
+    — the differential test covers the distributed layer."""
+    d = T(spark, sf, "documents")
+    return textstats.compression_signal(d, "doc_id", "text")
+
+
+_Q111_VERSION = 1
+
+
+def build_oracle(sf: str | None = None) -> dict[str, str]:
+    """Expectation-parquet oracle for q111 (streamq.build_oracle
+    pattern): sequential zlib over the documents parquet, rounding by
+    the F.round half-up twin; idempotent per (sf, version)."""
+    import os
+    import tempfile as _tf
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .crawl_oracle import _round6_half_up
+
+    sf = sf or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    key = sf.strip("/").replace("/", "_")
+    out_dir = f"/tmp/crawlspark_q111_oracle_v{_Q111_VERSION}_{key}"
+    out_path = os.path.join(out_dir, "q111.parquet")
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+        t = pq.read_table(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        n, zb, ratio = [], [], []
+        for txt in texts:
+            b = (txt or "").encode("utf-8")
+            c = len(zlib.compress(b, 6))
+            n.append(len(b))
+            zb.append(c)
+            ratio.append(_round6_half_up(c / max(len(b), 1)))
+        tbl = pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "n_bytes": pa.array(n, pa.int64()),
+                "z_bytes": pa.array(zb, pa.int64()),
+                "z_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+        tmp = _tf.mkdtemp(prefix=f"{out_dir}.stage-")
+        pq.write_table(tbl, os.path.join(tmp, "q111.parquet"))
+        open(os.path.join(tmp, "_DONE"), "w").write("ok")
+        try:
+            os.replace(tmp, out_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "q111_compression_quality": f"SELECT * FROM read_parquet('{out_path}')"
+    }
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -802,6 +869,7 @@ QUERIES = {
     "q99_tfidf": q99_tfidf,
     "q100_warc_export": q100_warc_export,
     "q103_domain_quality": q103_domain_quality,
+    "q111_compression_quality": q111_compression_quality,
 }
 
 ORACLE = {

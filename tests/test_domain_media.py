@@ -208,3 +208,24 @@ def test_leakage_safe_split_no_straddling_pair(spark):
         ).otherwise("train"),
     )
     assert sorted(map(tuple, again.collect())) == base
+
+
+def test_compression_signal_discriminates(spark):
+    """P36 (q111): repetitive boilerplate must compress far below
+    high-entropy text, zero-length text is safe, and the UDF is
+    partitioning-invariant."""
+    import random
+
+    rng = random.Random(7)
+    rand_txt = "".join(chr(rng.randrange(33, 127)) for _ in range(2000))
+    rep_txt = "the same boilerplate line over and over " * 50
+    rows = [(1, rep_txt), (2, rand_txt), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           textstats.compression_signal(df).collect()}
+    assert out[1]["z_ratio"] < 0.1 < 0.8 < out[2]["z_ratio"]
+    assert out[3]["n_bytes"] == 0 and out[3]["z_bytes"] > 0
+    base = sorted(map(tuple, textstats.compression_signal(df).collect()))
+    got = sorted(map(tuple,
+                     textstats.compression_signal(df.repartition(3)).collect()))
+    assert got == base
