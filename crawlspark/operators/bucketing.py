@@ -161,3 +161,35 @@ def warc_records(
         record.alias("warc"),
         F.octet_length(record).cast("long").alias("warc_bytes"),
     )
+
+
+def parse_warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
+    """R30 WARC ingestion — the consumer side of :func:`warc_records`
+    (what a Common Crawl reader does): recover (uri, text) from a
+    WARC/1.0 response record. The payload slice is CONTENT-LENGTH
+    DRIVEN over the UTF-8 bytes (encode → binary substring → decode),
+    never a split on blank lines — so a payload containing
+    ``\\r\\n\\r\\n`` parses correctly and multi-byte text slices on
+    byte, not char, boundaries. Pure JVM column math, zero shuffles."""
+    c = F.col(warc_col)
+    return (
+        df.withColumn(
+            "uri", F.regexp_extract(c, r"WARC-Target-URI: ([^\r\n]+)", 1)
+        )
+        .withColumn(
+            "_len",
+            F.regexp_extract(c, r"Content-Length: ([0-9]+)", 1).cast("int"),
+        )
+        .withColumn(
+            "_start",
+            F.octet_length(F.substring_index(c, "\r\n\r\n", 1)) + F.lit(5),
+        )
+        .withColumn(
+            "text",
+            F.expr(
+                f"decode(substring(encode({warc_col}, 'UTF-8'), _start, _len),"
+                " 'UTF-8')"
+            ),
+        )
+        .drop("_len", "_start")
+    )

@@ -735,6 +735,34 @@ FROM r
 """
 
 
+# --- WARC round-trip ingestion (R30) --------------------------------------
+
+def q112_warc_roundtrip(spark, sf):
+    """R30: parse_warc_records ∘ warc_records must be the identity on
+    (doc_id, uri, text) — the Common Crawl consumer-side contract. A
+    single wrong byte anywhere (headers, Content-Length arithmetic,
+    byte-vs-char slicing) shifts the hash. Zero shuffles end-to-end."""
+    from ..operators import bucketing
+
+    d = T(spark, sf, "documents").withColumn(
+        "uri",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    w = bucketing.warc_records(d, "doc_id", "text", F.col("uri"))
+    return bucketing.parse_warc_records(w).select("doc_id", "uri", "text")
+
+
+SQL112 = """
+SELECT doc_id,
+       'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+       text
+FROM documents
+"""
+
+
 # --- domain-level quality with empirical-Bayes shrinkage (P33) -----------
 
 def q103_domain_quality(spark, sf):
@@ -870,6 +898,7 @@ QUERIES = {
     "q100_warc_export": q100_warc_export,
     "q103_domain_quality": q103_domain_quality,
     "q111_compression_quality": q111_compression_quality,
+    "q112_warc_roundtrip": q112_warc_roundtrip,
 }
 
 ORACLE = {
@@ -891,4 +920,5 @@ ORACLE = {
     "q99_tfidf": SQL99,
     "q100_warc_export": SQL100,
     "q103_domain_quality": SQL103,
+    "q112_warc_roundtrip": SQL112,
 }

@@ -229,3 +229,31 @@ def test_compression_signal_discriminates(spark):
     got = sorted(map(tuple,
                      textstats.compression_signal(df.repartition(3)).collect()))
     assert got == base
+
+
+def test_warc_roundtrip_adversarial_payloads(spark):
+    """R30 (q112): the Content-Length-driven parser must survive the
+    payloads blank-line splitting would corrupt — embedded CRLF CRLF
+    inside the text, multi-byte UTF-8 (byte-vs-char slicing), empty
+    text, and trailing whitespace."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators import bucketing
+
+    rows = [
+        (1, "plain text"),
+        (2, "embedded\r\n\r\nblank line"),
+        (3, "unicode: héllo wörld — 中文 🙂"),
+        (4, ""),
+        (5, "trailing spaces   \r\n"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "uri", F.concat(F.lit("https://x/doc/"), F.col("doc_id").cast("string"))
+    )
+    w = bucketing.warc_records(d, "doc_id", "text", F.col("uri"))
+    got = {
+        r["doc_id"]: (r["uri"], r["text"])
+        for r in bucketing.parse_warc_records(w).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == (f"https://x/doc/{doc_id}", text), doc_id
