@@ -35,30 +35,40 @@ _WINDOW = [
     # the r3-tail crawl components rotate IN this round
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
-    "q88_forget_recrawl", "q89_time_travel", "q67_trap_guard",
-    "q68_redirects", "q78_reseed", "q79_sitemap_index",
+    "q88_forget_recrawl", "q89_time_travel", "q78_reseed",
+    "q79_sitemap_index",
     "q71_revisit_versions", "q72_change_rates", "q73_sitemap_seen",
     "q76_backoff", "q77_priority_feedback", "q86_frame_sample",
-    # streaming S1–S8 (q94 streaming dedup rotated in r4; q97
-    # stream-stream join is new in r4)
+    # late-r4 crawl-scope/politeness/economy contracts enter for their
+    # first hard rows: C29/C30 depth-cap + URL deny patterns (q108),
+    # C31 Crawl-delay-driven token refill (q109), C32 conditional
+    # re-fetch economy (q110). They take the slots of q67 trap-guard
+    # (C23) and q68 redirects (C24), both hard-green in r3 — the same
+    # admission-point machinery (scope_filter sits exactly where
+    # pattern_cap and robots rejection do) runs in-window via q108.
+    "q108_crawl_scope", "q109_delay_politeness",
+    "q110_conditional_fetch",
+    # streaming S1–S9 (q94 streaming dedup rotated in r4; q97
+    # stream-stream join and q107 stream-static enrichment are new r4)
     "q90_stream_window_rates", "q91_stream_sessions",
     "q92_stream_token_buckets", "q93_crawl_stream_rates",
-    "q94_stream_distinct", "q97_stream_join",
-    # similarity P8: band-OR LSH (the production recall config) + IVF
-    # coarse-quantizer. The exact baseline (q60, P7) rotates to the
-    # tail with hard rows from r2+r3 — its cosine machinery runs
-    # in-window as q63/q64's exact re-rank stage; the single-table LSH
-    # (q61) and multi-probe (q62) variants stay in the tail.
-    "q63_ann_banded", "q64_ann_ivf",
-    # dedup P3, P5, P6→P17, P19, P25, P28. The signature-intermediate
-    # variants (q51 minhash sigs, q53 simhash, q55 chargram Jaccard)
-    # stay in the tail (machinery runs in-window inside the pair
-    # queries); q50 exact dedup (P1) rotates to the tail with hard
-    # rows from r2+r3+r4-prior — the identical keep-first operator
-    # runs in-window inside q95's dedup stage
+    "q94_stream_distinct", "q97_stream_join", "q107_stream_enrich",
+    # similarity P8 + P34: IVF coarse-quantizer and the new SQ8
+    # int8-quantized scan (q105, first hard row). The band-OR LSH
+    # variant (q63) rotates to the tail on its r3 hard row — the
+    # banded-candidate + exact-re-rank machinery it exercised runs
+    # in-window inside q64's probe/re-rank and q106's band join; the
+    # exact baseline (q60) and single-table/multi-probe variants
+    # (q61/q62) stay in the tail as before.
+    "q64_ann_ivf", "q105_quantized_topk",
+    # dedup P3→P17, P28 + the new P35 leakage-safe corpus split
+    # (q106, first hard row — composes the q52 band join and q56
+    # min-label clustering in-window). The signature-intermediate
+    # variants (q51/q53/q55) stay in the tail; q54 simhash pairs
+    # (P4/P5), q57 embedding near-dups (P19) and q59 chunk dedup
+    # (P25) rotate to the tail on their r3 hard rows.
     "q56_dedup_clusters", "q52_near_dup_pairs",
-    "q54_simhash_pairs", "q57_embed_near_dups", "q59_chunk_dedup",
-    "q70_incremental_dedup",
+    "q70_incremental_dedup", "q106_leakage_safe_split",
     # text/LLM pipeline. New r4 first-class components enter: P30
     # curation pipeline (q95 — which composes P9 lang-ID, P10 quality,
     # P11 token counting and P1 dedup in-window, letting their
@@ -67,9 +77,13 @@ _WINDOW = [
     # fingerprinting rotates out on its r2+r3 hard rows.
     "q95_curation", "q99_tfidf", "q100_warc_export",
     "q46_repetition", "q47_contamination", "q48_lm_quality",
-    "q49_bm25", "q58_seq_packing", "q65_percentiles",
+    "q49_bm25", "q58_seq_packing",
     "q66_boilerplate", "q69_mixture", "q74_pii_scrub",
     "q75_shard_manifest",
+    # P36 compression-ratio quality (q111, first hard row) takes the
+    # slot of q65 exact percentiles (R25, hard-green r3; percentile
+    # machinery stays full-registry-checked in the tail)
+    "q111_compression_quality",
     # new late-r4 first-class components: P32 cross-document media
     # dedup over the interleaved payload (q102, refsim oracle) and
     # P33 domain-level quality with empirical-Bayes shrinkage (q103).
@@ -77,11 +91,14 @@ _WINDOW = [
     # broadcast-join and as-of machinery they exercised stays
     # in-window inside q26/q96/q98 and the crawl queries)
     "q102_media_dedup", "q103_domain_quality",
-    # relational representatives: the bucketed anti-join (P18/R8),
-    # the new R27 profiling and R28 skew join. The relational rows
-    # hard-green in BOTH r2 and r3 (q03/q25 now among them) are in
-    # the tail — still full-registry-checked every round
-    "q26_bucketed_antijoin", "q96_profile", "q98_skew_join",
+    # relational representatives: R27 profiling, R28 skew join, and
+    # the new R30 WARC ingestion round-trip (q112, first hard row —
+    # it takes the slot of q26 bucketed anti-join, hard-green in BOTH
+    # r2 and r3; the anti-join machinery runs in-window inside every
+    # crawl query's seen filter). The relational rows hard-green in
+    # both r2 and r3 (q03/q25 among them) are in the tail — still
+    # full-registry-checked every round
+    "q96_profile", "q98_skew_join", "q112_warc_roundtrip",
 ]
 
 
