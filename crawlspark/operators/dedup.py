@@ -120,6 +120,92 @@ def chunk_dedup(
     )
 
 
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact-substring span dedup (P37) — the ExactSubstr operator of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022), re-expressed as dataflow: every k-token window that
+    reappears anywhere in the corpus (including later in the same
+    document) is removed from every occurrence EXCEPT the global first
+    (min (id, pos)), and the surviving tokens are reassembled in
+    order. Overlapping flagged windows merge naturally because removal
+    is by covered token position, not by window.
+
+    Differs from chunk_dedup (P25): windows here OVERLAP (stride 1),
+    so a duplicated passage is caught at any alignment — P25's fixed
+    non-overlapping chunks only fire when duplication lines up with
+    chunk boundaries. The price is the classic ExactSubstr cost: the
+    window table is Θ(total tokens) rows (suffix-array equivalent
+    work, expressed as a hash groupBy instead of a sort).
+
+    Scale shape (10^12 tokens): the first-occurrence pick is a
+    ``groupBy(window_key).agg(min(struct))`` — partial-aggregated, so
+    a boilerplate phrase repeated 10^8 times shuffles one row per
+    input partition, never a hot window partition; the join-back that
+    flags non-first occurrences costs ∝ occurrences (AQE splits the
+    residual hot keys); covered-position explode costs ∝ flagged
+    spans × k; reassembly is per-doc bounded (same bound as P25's).
+    Output: (id, n_tokens, n_removed, text_dedup) — one row per input
+    doc; fully-duplicated docs survive with text_dedup = ''.
+    """
+    toks = df.select(F.col(id_col).alias("id"), words(text_col).alias("_w"))
+    # NB: guard short docs BEFORE sequence() — Spark's sequence(1, 0)
+    # counts DOWN to [1, 0], and slice(_, 0, k) is a runtime error
+    starts = F.when(
+        F.size("_w") >= F.lit(k),
+        F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    win = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice("_w", i, k), "_").alias("wtext"),
+                ),
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.pos").alias("pos"), md5hash60("s.wtext").alias("wkey"))
+    firsts = win.groupBy("wkey").agg(F.min(F.struct("id", "pos")).alias("m"))
+    flagged = (
+        win.join(firsts, "wkey")
+        .filter((F.col("id") != F.col("m.id")) | (F.col("pos") != F.col("m.pos")))
+        .select("id", "pos")
+    )
+    covered = flagged.select(
+        "id", F.explode(F.sequence("pos", F.col("pos") + F.lit(k - 1))).alias("cpos")
+    ).distinct()
+    positions = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.size("_w"))).alias("i"),
+        F.col("_w").alias("_w"),
+    ).select("id", "i", F.element_at("_w", F.col("i")).alias("tok"))
+    kept = positions.join(
+        covered,
+        (positions["id"] == covered["id"]) & (positions["i"] == covered["cpos"]),
+        "left_anti",
+    )
+    agg = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    base = toks.select("id", F.size("_w").cast("long").alias("n_tokens"))
+    return base.join(agg, "id", "left").select(
+        "id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
 # -- MinHash + LSH ---------------------------------------------------------
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:

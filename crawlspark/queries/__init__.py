@@ -63,12 +63,16 @@ _WINDOW = [
     "q64_ann_ivf", "q105_quantized_topk",
     # dedup P3→P17, P28 + the new P35 leakage-safe corpus split
     # (q106, first hard row — composes the q52 band join and q56
-    # min-label clustering in-window). The signature-intermediate
+    # min-label clustering in-window) + the new P37 exact-substring
+    # span dedup (q113, first hard row). The signature-intermediate
     # variants (q51/q53/q55) stay in the tail; q54 simhash pairs
-    # (P4/P5), q57 embedding near-dups (P19) and q59 chunk dedup
-    # (P25) rotate to the tail on their r3 hard rows.
-    "q56_dedup_clusters", "q52_near_dup_pairs",
+    # (P4/P5), q57 embedding near-dups (P19), q59 chunk dedup (P25)
+    # and q56 clusters (P17 — its min-label propagation runs
+    # in-window inside q106's connected-components stage) rotate to
+    # the tail on their r3 hard rows.
+    "q52_near_dup_pairs",
     "q70_incremental_dedup", "q106_leakage_safe_split",
+    "q113_span_dedup",
     # text/LLM pipeline. New r4 first-class components enter: P30
     # curation pipeline (q95 — which composes P9 lang-ID, P10 quality,
     # P11 token counting and P1 dedup in-window, letting their

@@ -386,6 +386,49 @@ FROM sel
 """
 
 
+# --- exact-substring span dedup (P37) -------------------------------------
+
+def q113_span_dedup(spark, sf):
+    """ExactSubstr-style dedup: every 8-token window seen anywhere
+    earlier in the corpus (global (id, pos) order) is removed from its
+    later occurrences by covered token position; overlapping flagged
+    windows merge into maximal removed spans. Unlike q59's fixed
+    chunks, the stride-1 windows catch duplication at any alignment."""
+    return dedup.span_dedup(T(spark, sf, "documents"), "doc_id", "text", k=8)
+
+
+SQL113 = f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split(trim(text), ' ') AS w FROM documents),
+win AS (
+  SELECT id, i AS pos,
+         {_H("array_to_string(list_slice(w, i, i + 7), '_')")} AS wkey
+  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS u(i)),
+flagged AS (
+  SELECT id, pos FROM (
+    SELECT id, pos,
+           row_number() OVER (PARTITION BY wkey ORDER BY id, pos) AS rn
+    FROM win) WHERE rn > 1),
+covered AS (
+  SELECT DISTINCT id, pos + g AS cpos
+  FROM flagged, UNNEST(generate_series(0, 7)) AS t(g)),
+pos AS (
+  SELECT t.id, i, w[i] AS tok
+  FROM toks t, UNNEST(generate_series(1, len(w))) AS u(i)),
+kept AS (
+  SELECT p.id, p.i, p.tok FROM pos p
+  ANTI JOIN covered c ON p.id = c.id AND p.i = c.cpos),
+agg AS (
+  SELECT id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS text_dedup
+  FROM kept GROUP BY id)
+SELECT t.id, len(t.w) AS n_tokens,
+       CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.text_dedup, '') AS text_dedup
+FROM toks t LEFT JOIN agg a ON t.id = a.id
+"""
+
+
 QUERIES = {
     "q50_exact_dedup": q50_exact_dedup,
     "q59_chunk_dedup": q59_chunk_dedup,
@@ -397,6 +440,7 @@ QUERIES = {
     "q56_dedup_clusters": q56_dedup_clusters,
     "q70_incremental_dedup": q70_incremental_dedup,
     "q106_leakage_safe_split": q106_leakage_safe_split,
+    "q113_span_dedup": q113_span_dedup,
 }
 
 ORACLE = {
@@ -410,4 +454,5 @@ ORACLE = {
     "q56_dedup_clusters": SQL56,
     "q70_incremental_dedup": SQL70,
     "q106_leakage_safe_split": SQL106,
+    "q113_span_dedup": SQL113,
 }
