@@ -112,6 +112,27 @@ class CrawlEngine:
     def _part(self, col: str = "url_hash"):
         return F.pmod(F.col(col), F.lit(self.cfg.n_seen_parts)).cast("int")
 
+    def _pol_expr(self, col: str = "host"):
+        """C33: the politeness-bucket key of a host column — the
+        registered domain (last three labels; refsim twin
+        pol_key_of_host) under domain grouping, else the host itself."""
+        if self.cfg.graph.domain_politeness:
+            return F.substring_index(F.col(col), ".", -3)
+        return F.col(col)
+
+    def _pol_hc(self, hc):
+        """host_config reduced to one politeness-bucket row per key.
+        Under C33 grouping the member hosts of a domain carry the SAME
+        domain-level capacity/refill draws (synth guarantees it), so
+        distinct() collapses them to the bucket row; host_state is
+        keyed by this `host` column throughout."""
+        view = hc.select(
+            self._pol_expr().alias("host"), "token_capacity", "refill_per_cycle"
+        )
+        if self.cfg.graph.domain_politeness:
+            view = view.distinct()
+        return view
+
     # -- bucketed url_seen mirror (opt-in) -----------------------------------
 
     @property
@@ -275,7 +296,7 @@ class CrawlEngine:
             self.cat.read(self._sidecar_table),  # empty
             0,
         )
-        hs0 = hc.select(
+        hs0 = self._pol_hc(hc).select(
             "host", F.col("token_capacity").alias("tokens"),
             F.lit(0).cast("long").alias("last_cycle"),
         )
@@ -348,9 +369,20 @@ class CrawlEngine:
         )
 
         hs_ref = politeness.refill_tokens(
-            politeness.latest_host_state(host_state), hc, cycle=c
-        )  # host, tokens_refilled, cap
-        capped = schedule.per_host_cap(queued, hs_ref.select("host", "cap"))
+            politeness.latest_host_state(host_state), self._pol_hc(hc), cycle=c
+        )  # host (= politeness bucket), tokens_refilled, cap
+        if g.domain_politeness:
+            # C33: cap by the registered-domain bucket — the queued
+            # row's bucket key is derived column math, the cap join
+            # and both cap windows partition on it, and the key is
+            # dropped before the batch schema is fixed
+            capped = schedule.per_host_cap(
+                queued.withColumn("pol_host", self._pol_expr()),
+                hs_ref.select(F.col("host").alias("pol_host"), "cap"),
+                key="pol_host",
+            ).drop("pol_host")
+        else:
+            capped = schedule.per_host_cap(queued, hs_ref.select("host", "cap"))
         batch = schedule.global_schedule(capped, g.batch_size).persist()
 
         # fetch + parse. global_schedule's limit() leaves the batch in a
@@ -526,9 +558,12 @@ class CrawlEngine:
             )
         )
 
-        # politeness carry-over: ONLY hosts that spent tokens get a
-        # delta row (lazy refill makes untouched rows stay exact)
-        spent = batch.groupBy("host").agg(F.count("*").alias("n_spent"))
+        # politeness carry-over: ONLY buckets that spent tokens get a
+        # delta row (lazy refill makes untouched rows stay exact).
+        # _pol_expr is the identity when domain grouping is off.
+        spent = batch.groupBy(self._pol_expr().alias("host")).agg(
+            F.count("*").alias("n_spent")
+        )
         hs_delta = hs_ref.join(spent, "host", "inner").select(
             "host",
             (F.col("tokens_refilled") - F.col("n_spent")).alias("tokens"),
@@ -957,7 +992,7 @@ class CrawlEngine:
         frontier_new = schedule.with_score(f).select(*FRONTIER_COLS).persist()
         n_queued = frontier_new.count()
         hs_delta = (
-            host_config_df.join(
+            self._pol_hc(host_config_df).join(
                 host_state.select("host").distinct(), "host", "left_anti"
             ).select(
                 "host",

@@ -34,22 +34,29 @@ def with_score(df: DataFrame) -> DataFrame:
     )
 
 
-def per_host_cap(queued: DataFrame, caps: DataFrame) -> DataFrame:
-    """C9: keep each host's best ≤ cap URLs by (score, seq).
+def per_host_cap(queued: DataFrame, caps: DataFrame, key: str = "host") -> DataFrame:
+    """C9: keep each bucket's best ≤ cap URLs by (score, seq). The
+    bucket `key` is the host by default, or the registered-domain
+    politeness key under C33 grouping.
 
-    Greedy priority-FIFO drain with per-host allowances selects, for
-    every host, exactly its top-cap candidates in global order — so
+    Greedy priority-FIFO drain with per-bucket allowances selects, for
+    every bucket, exactly its top-cap candidates in global order — so
     the capped union is semantically identical to the reference's
-    scan (proof sketch: within-host order is a suborder of the global
-    order, so a URL survives the scan iff it is among its host's first
-    cap candidates).
+    scan (proof sketch: within-bucket order is a suborder of the
+    global order, so a URL survives the scan iff it is among its
+    bucket's first cap candidates).
+
+    The phase-1 window partitions on (key, host_salt): any
+    sub-partitioning of the bucket's rows over-selects (≤ cap per
+    slice ⊇ the bucket's true top-cap), so the host-derived salt
+    stays correct when the bucket is a whole domain.
     """
-    df = queued.join(F.broadcast(caps), "host", "inner").filter(F.col("cap") > 0)
-    w1 = Window.partitionBy("host", "host_salt").orderBy("score", "seq")
+    df = queued.join(F.broadcast(caps), key, "inner").filter(F.col("cap") > 0)
+    w1 = Window.partitionBy(key, "host_salt").orderBy("score", "seq")
     phase1 = df.withColumn("rn1", F.row_number().over(w1)).filter(
         F.col("rn1") <= F.col("cap")
     )
-    w2 = Window.partitionBy("host").orderBy("score", "seq")
+    w2 = Window.partitionBy(key).orderBy("score", "seq")
     return (
         phase1.withColumn("rn2", F.row_number().over(w2))
         .filter(F.col("rn2") <= F.col("cap"))

@@ -35,8 +35,13 @@ _WINDOW = [
     # the r3-tail crawl components rotate IN this round
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
-    "q88_forget_recrawl", "q89_time_travel", "q78_reseed",
+    "q89_time_travel", "q78_reseed",
     "q79_sitemap_index",
+    # C33 registered-domain politeness (q114, first hard row) takes
+    # the slot of q88 forget/re-crawl (C20, hard r3 — the identical
+    # forget + re-inject machinery runs in-window inside q78's
+    # reseed contract, which composes forget())
+    "q114_domain_politeness",
     "q71_revisit_versions", "q72_change_rates", "q73_sitemap_seen",
     "q76_backoff", "q77_priority_feedback", "q86_frame_sample",
     # late-r4 crawl-scope/politeness/economy contracts enter for their

@@ -706,6 +706,41 @@ def q102_media_dedup(spark, sf):
     )
 
 
+def _engine_domgroup(spark) -> CrawlEngine:
+    """UNIT_DOMGROUP crawl: 2 registered domains × 3 subdomain hosts,
+    politeness keyed by the registered domain (C33) — the domain's
+    subdomains share ONE token bucket and one schedule cap."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-domgroup"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_DOMGROUP
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_DOMGROUP, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q114_domain_politeness(spark, sf):
+    """C33 through the driver's harness: with domain_politeness on,
+    the token bucket and per-host cap key on the registered domain
+    (substring_index(host, '.', -3)), so subdomain siblings compete
+    for one shared budget — a site can't multiply its crawl rate by
+    spreading pages across www/cdn/m hosts. Robots and site_priority
+    stay host-scoped (RFC 9309). The full fetch-attempt order must
+    match the refsim draining per-domain buckets (it differs from the
+    per-host twin wherever a domain's members would overdraw the
+    shared budget). Oracle: the UNIT_DOMGROUP refsim's q80 table
+    (crawl_oracle.py)."""
+    return _engine_domgroup(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -732,6 +767,7 @@ QUERIES = {
     "q108_crawl_scope": q108_crawl_scope,
     "q109_delay_politeness": q109_delay_politeness,
     "q110_conditional_fetch": q110_conditional_fetch,
+    "q114_domain_politeness": q114_domain_politeness,
 }
 
 ORACLE: dict[str, str] = {}
@@ -786,4 +822,9 @@ def build_oracle() -> dict[str, str]:
     from ..synth import UNIT_COND
 
     sql["q110_conditional_fetch"] = build_crawl_oracles(UNIT_COND)["q71_revisit_versions"]
+    # q114: the full attempt order under registered-domain politeness
+    # (its graph's q80 table — the refsim keys its buckets the same way)
+    from ..synth import UNIT_DOMGROUP
+
+    sql["q114_domain_politeness"] = build_crawl_oracles(UNIT_DOMGROUP)["q80_crawl_order"]
     return sql

@@ -69,8 +69,13 @@ class RefSim:
         hosts = [cfg.host(i) for i in range(cfg.n_sites)]
         rules = {h: cfg.robots_rules(i) for i, h in enumerate(hosts)}
         prio = {h: cfg.site_priority(i) for i, h in enumerate(hosts)}
-        cap = {h: cfg.token_capacity(i) for i, h in enumerate(hosts)}
-        refill = {h: cfg.refill_per_cycle(i) for i, h in enumerate(hosts)}
+        # C33: the token bucket is keyed by the POLITENESS key — the
+        # registered domain under domain grouping (member hosts share
+        # one bucket; their domain-level draws agree by construction),
+        # the host itself otherwise (pk is the identity then).
+        pk = {h: cfg.pol_key_of_host(h) for h in hosts}
+        cap = {pk[h]: cfg.token_capacity(i) for i, h in enumerate(hosts)}
+        refill = {pk[h]: cfg.refill_per_cycle(i) for i, h in enumerate(hosts)}
         tokens = dict(cap)
 
         res = RefSimResult()
@@ -134,17 +139,18 @@ class RefSim:
                 break
             urls_in = len(queued)
             allow = {}
-            for h in hosts:
-                tokens[h] = min(cap[h], tokens[h] + refill[h])
-                allow[h] = math.floor(tokens[h])
+            for p in cap:
+                tokens[p] = min(cap[p], tokens[p] + refill[p])
+                allow[p] = math.floor(tokens[p])
             # beanstalkd drain: scan in (priority, FIFO) order, honor
-            # per-host allowance, stop at batch_size
+            # per-bucket allowance (bucket = host, or the registered
+            # domain under C33 grouping), stop at batch_size
             batch = []
             for u, (score, s, depth, host) in sorted(
                 queued.items(), key=lambda kv: (kv[1][0], kv[1][1])
             ):
-                if allow[host] > 0:
-                    allow[host] -= 1
+                if allow[pk[host]] > 0:
+                    allow[pk[host]] -= 1
                     batch.append((u, score, s, depth, host))
                     if len(batch) == cfg.batch_size:
                         break
@@ -155,7 +161,7 @@ class RefSim:
             n_docs = 0
             for pos, (u, score, s, depth, host) in enumerate(batch, 1):
                 del queued[u]
-                tokens[host] -= 1
+                tokens[pk[host]] -= 1
                 i, j = cfg.url_to_page(u)
                 attempt = attempts.get(u, 0) + 1
                 ok = cfg.fetch_ok(i, j, attempt)

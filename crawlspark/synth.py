@@ -155,6 +155,22 @@ class GraphConfig:
     # action sequentially.
     reseed_after: int | None = None
     reseed_k: int = 0
+    # C33: registered-domain politeness grouping. subdomain_group g > 1
+    # renames hosts so g consecutive sites become SUBDOMAINS of one
+    # registered domain: host(i) = "s{i%g}.dom{i//g:04d}.example.com".
+    # domain_politeness=True then keys the token bucket and the
+    # per-host schedule cap by the registered domain (the pay-level
+    # domain), so a domain's subdomains SHARE one politeness budget —
+    # the grouping production crawlers apply (a site can't multiply
+    # its crawl rate by fanning content across www/cdn/m hosts).
+    # robots rules and site_priority stay per-HOST: RFC 9309 is
+    # host-scoped. Domain-level capacity/refill are drawn from the
+    # domain index, so every member host reports the same value and
+    # the engine can collapse host_config to one bucket row per
+    # domain. Both default off: host naming, admission and politeness
+    # are byte-identical for every existing graph.
+    subdomain_group: int = 1
+    domain_politeness: bool = False
 
     # -- topology ----------------------------------------------------------
 
@@ -162,10 +178,29 @@ class GraphConfig:
         return max(2, int(self.max_pages / (i + 1) ** self.zipf_s))
 
     def host(self, i: int) -> str:
+        if self.subdomain_group > 1:
+            g = self.subdomain_group
+            return f"s{i % g}.dom{i // g:04d}.example.com"
         return f"site{i:04d}.example.com"
 
     def site_of_host(self, host: str) -> int:
-        return int(host[4:8])
+        if self.subdomain_group > 1:
+            m = re.match(r"^s(\d+)\.dom(\d{4})\.example\.com$", host)
+            if m and int(m.group(1)) < self.subdomain_group:
+                return int(m.group(2)) * self.subdomain_group + int(m.group(1))
+            raise ValueError(f"not a synthetic host: {host}")
+        m = re.match(r"^site(\d{4})\.example\.com$", host)
+        if m:
+            return int(m.group(1))
+        raise ValueError(f"not a synthetic host: {host}")
+
+    def pol_key_of_host(self, host: str) -> str:
+        """C33: the politeness-bucket key of a host — the registered
+        domain (last three labels) under domain grouping, else the
+        host itself. Spark twin: substring_index(host, '.', -3)."""
+        if self.domain_politeness:
+            return ".".join(host.split(".")[-3:])
+        return host
 
     # -- per-host config ---------------------------------------------------
 
@@ -173,9 +208,18 @@ class GraphConfig:
         return h64(self.seed, "prio", i) % 5
 
     def token_capacity(self, i: int) -> float:
+        if self.domain_politeness:
+            # C33: one DOMAIN-level draw — every member host reports
+            # the same value, so the engine can collapse host_config
+            # to one politeness-bucket row per registered domain
+            d = i // self.subdomain_group
+            return float((2 + h64(self.seed, "dcap", d) % 7) * self.token_mult)
         return float((2 + h64(self.seed, "cap", i) % 7) * self.token_mult)
 
     def refill_per_cycle(self, i: int) -> float:
+        if self.domain_politeness:
+            d = i // self.subdomain_group
+            return float((1 + h64(self.seed, "drefill", d) % 4) * self.token_mult)
         if self.delay_driven_refill:
             # C31: the host's declared Crawl-delay sets its rate,
             # QUANTIZED to whole tokens (floor, min 1): integer-valued
@@ -330,21 +374,28 @@ class GraphConfig:
         """Inverse of page_url over canonical URLs (the fetcher's
         router). Calendar-trap URLs route as (site, -day): the negative
         page index selects the trap payload in page_spans/fetch_ok."""
-        m = re.match(r"http://site(\d{4})\.example\.com(?:/private)?/p(\d+)$", url_norm)
+        m = re.match(r"^http://([^/]+)(/.*)$", url_norm)
         if m:
-            return int(m.group(1)), int(m.group(2))
-        m = re.match(r"http://site(\d{4})\.example\.com/cal\?d=(\d+)$", url_norm)
-        if m and self.trap_hosts:
-            return int(m.group(1)), -int(m.group(2))
-        m = re.match(r"http://site(\d{4})\.example\.com/r(\d+)$", url_norm)
-        if m and self.redirect_every:
-            return int(m.group(1)), ALIAS_BASE + int(m.group(2))
-        m = re.match(r"http://site(\d{4})\.example\.com/sitemap\.xml$", url_norm)
-        if m and self.sitemaps:
-            return int(m.group(1)), SITEMAP_J
-        m = re.match(r"http://site(\d{4})\.example\.com/sitemap-(\d+)\.xml$", url_norm)
-        if m and self.sitemaps and self.sitemap_nested:
-            return int(m.group(1)), SITEMAP_J + 1 + int(m.group(2))
+            try:
+                i = self.site_of_host(m.group(1))
+            except ValueError:
+                i = None
+            path = m.group(2)
+            if i is not None:
+                m = re.match(r"^(?:/private)?/p(\d+)$", path)
+                if m:
+                    return i, int(m.group(1))
+                m = re.match(r"^/cal\?d=(\d+)$", path)
+                if m and self.trap_hosts:
+                    return i, -int(m.group(1))
+                m = re.match(r"^/r(\d+)$", path)
+                if m and self.redirect_every:
+                    return i, ALIAS_BASE + int(m.group(1))
+                if path == "/sitemap.xml" and self.sitemaps:
+                    return i, SITEMAP_J
+                m = re.match(r"^/sitemap-(\d+)\.xml$", path)
+                if m and self.sitemaps and self.sitemap_nested:
+                    return i, SITEMAP_J + 1 + int(m.group(1))
         raise ValueError(f"not a synthetic page url: {url_norm}")
 
     def outlink_targets(self, i: int, j: int) -> list[str]:
@@ -614,6 +665,15 @@ UNIT_ROBREV = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # canonicalize. media_prob 0.85 maximizes media spans per page.
 UNIT_MEDIA = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                          max_cycles=6, media_prob=0.85, asset_buckets=13)
+# UNIT-scale graph under registered-domain politeness (C33): 6 sites
+# as 2 registered domains × 3 subdomains each, one shared token
+# bucket per domain — the drain order shifts wherever subdomain
+# siblings compete for their domain's budget (per-host politeness
+# would let each of them drain independently). batch_size 12 keeps
+# the shared buckets binding from cycle 1.
+UNIT_DOMGROUP = GraphConfig(n_sites=6, max_pages=40, batch_size=12,
+                            max_cycles=7, subdomain_group=3,
+                            domain_politeness=True)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,
