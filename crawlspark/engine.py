@@ -351,6 +351,22 @@ class CrawlEngine:
             .withColumn("attempt", (F.coalesce("n_fail", F.lit(0)) + 1).cast("int"))
             .drop("n_fail")
         )
+        if g.priority_aging_every:
+            # C34: drain-time priority aging — the effective score is
+            # derived column math off the stored admission cycle, so a
+            # resumed crawl re-derives the identical drain key; the
+            # schedule log records the effective score (the refsim
+            # emits the same)
+            queued = queued.withColumn(
+                "score",
+                (
+                    F.col("score")
+                    - F.floor(
+                        (F.lit(c) - F.col("cycle_id"))
+                        / F.lit(g.priority_aging_every)
+                    )
+                ).cast("long"),
+            )
         # per-salt queued counts ride along the batch job via observe —
         # the per-host cap scans every queued row exactly once there, so
         # urls_in costs zero extra scans (the r1 metrics job re-scanned

@@ -594,3 +594,62 @@ def compression_signal(
             F.round(F.col("z_bytes") / F.greatest(F.col("n_bytes"), F.lit(1)), 6),
         )
     )
+
+
+def budget_select(
+    df: DataFrame, id_col: str, quality_col: str, cost_col: str, budget: int
+) -> DataFrame:
+    """P38: token-budgeted corpus selection — keep the greedy quality
+    prefix: docs in (quality DESC, id) order while the running token
+    total stays ≤ budget. The standard curation step when a training
+    mix allots a corpus N tokens, as dataflow.
+
+    Scale shape (10^9 docs): a naive cumulative sum is a single global
+    window (one-partition funnel). This is the same fully-distributed
+    two-phase prefix sum as schedule.global_schedule's large path:
+    range-partition on the order key, collect only the P per-partition
+    COST TOTALS (the driver sees P longs, never rows), broadcast the
+    partition offsets back, and cum = offset + within-partition
+    running sum. The ranged frame is materialized once so the range
+    partitioner's sampled boundaries can't re-draw between the totals
+    job and the final pass. Costs are longs, so the prefix sums are
+    exact and partitioning-invariant; ties in quality break on id —
+    a total order, so the selected set is deterministic.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _materialize
+
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(quality_col).alias("q"),
+        F.col(cost_col).cast("long").alias("cost"),
+    )
+    ranged = _materialize(
+        base.repartitionByRange(n_part, F.col("q").desc(), F.col("id"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in ranged.groupBy("_pid").agg(F.sum("cost").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("q").desc(), "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("cum_cost", (F.col("_off") + F.sum("cost").over(w)).cast("long"))
+        .filter(F.col("cum_cost") <= budget)
+        .drop("_pid", "_off")
+    )

@@ -34,9 +34,14 @@ _WINDOW = [
     # flat sitemaps, backoff, authority feedback, frame sampling —
     # the r3-tail crawl components rotate IN this round
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
-    "q83_crawl_metrics", "q84_media_features", "q85_pagerank",
+    "q83_crawl_metrics",
     "q89_time_travel", "q78_reseed",
     "q79_sitemap_index",
+    # C34 anti-starvation priority aging (q115, first hard row) takes
+    # the slot of q85 pagerank (P16, hard r3 — the identical damped
+    # iteration runs in-window inside q77's authority-fed priority
+    # refresh, which composes operators/graph.pagerank)
+    "q115_priority_aging",
     # C33 registered-domain politeness (q114, first hard row) takes
     # the slot of q88 forget/re-crawl (C20, hard r3 — the identical
     # forget + re-inject machinery runs in-window inside q78's
@@ -91,8 +96,12 @@ _WINDOW = [
     "q75_shard_manifest",
     # P36 compression-ratio quality (q111, first hard row) takes the
     # slot of q65 exact percentiles (R25, hard-green r3; percentile
-    # machinery stays full-registry-checked in the tail)
-    "q111_compression_quality",
+    # machinery stays full-registry-checked in the tail); P38
+    # token-budgeted corpus selection (q116, first hard row —
+    # distributed two-phase prefix sum) takes the slot of q84 media
+    # features (P14, hard r3 — the identical multimodal decode
+    # pipeline runs in-window inside q86's frame sampling)
+    "q111_compression_quality", "q116_budget_select",
     # new late-r4 first-class components: P32 cross-document media
     # dedup over the interleaved payload (q102, refsim oracle) and
     # P33 domain-level quality with empirical-Bayes shrinkage (q103).

@@ -741,6 +741,40 @@ def q114_domain_politeness(spark, sf):
     )
 
 
+def _engine_aging(spark) -> CrawlEngine:
+    """UNIT_AGING crawl: anti-starvation priority aging (C34) — the
+    drain key is the effective score base − age // aging_every."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-aging"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_AGING
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_AGING, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q115_priority_aging(spark, sf):
+    """C34 through the driver's harness: queued URLs gain one point of
+    effective priority every aging_every cycles spent waiting
+    (eff = score − (cycle − admission_cycle) // aging_every, derived
+    at drain time from the frontier row's stored admission cycle —
+    nothing ages in storage, so a resumed crawl re-derives the same
+    key). The full attempt order must match the refsim applying the
+    same decay; it measurably departs from the unaged twin (old rows
+    leapfrog fresh discoveries — the anti-starvation escalation a
+    production frontier scheduler ships). Oracle: the UNIT_AGING
+    refsim's q80 table (crawl_oracle.py)."""
+    return _engine_aging(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -768,6 +802,7 @@ QUERIES = {
     "q109_delay_politeness": q109_delay_politeness,
     "q110_conditional_fetch": q110_conditional_fetch,
     "q114_domain_politeness": q114_domain_politeness,
+    "q115_priority_aging": q115_priority_aging,
 }
 
 ORACLE: dict[str, str] = {}
@@ -827,4 +862,10 @@ def build_oracle() -> dict[str, str]:
     from ..synth import UNIT_DOMGROUP
 
     sql["q114_domain_politeness"] = build_crawl_oracles(UNIT_DOMGROUP)["q80_crawl_order"]
+    # q115: the full attempt order under anti-starvation priority
+    # aging (its graph's q80 table — the refsim derives the same
+    # effective-score drain key)
+    from ..synth import UNIT_AGING
+
+    sql["q115_priority_aging"] = build_crawl_oracles(UNIT_AGING)["q80_crawl_order"]
     return sql

@@ -878,9 +878,54 @@ def build_oracle(sf: str | None = None) -> dict[str, str]:
     }
 
 
+# --- token-budgeted corpus selection (P38) --------------------------------
+
+def q116_budget_select(spark, sf):
+    """P38: keep the greedy quality prefix of the corpus under a fixed
+    token budget — docs in (quality DESC, doc_id) order while the
+    running token total stays <= 8000. The cumulative sum is the
+    fully-distributed two-phase prefix sum (range-partition, collect P
+    partition totals, offset + local running sum) — no global-window
+    one-partition funnel; exact long arithmetic, ties broken on id."""
+    d = T(spark, sf, "documents")
+    q = textstats.with_quality(d, "text").select(
+        "doc_id", "quality", F.col("n_words").cast("long").alias("n_tokens")
+    )
+    return textstats.budget_select(
+        q, "doc_id", "quality", "n_tokens", budget=8000
+    ).select(
+        F.col("id").alias("doc_id"), F.col("q").alias("quality"),
+        F.col("cost").alias("n_tokens"), F.col("cum_cost").alias("cum_tokens"),
+    )
+
+
+SQL116 = r"""
+WITH s AS (
+  SELECT doc_id,
+         round(least(1.0, n_words / 200.0) * 0.5
+               + (1 - least(1.0, n_punct / n_chars_t * 10)) * 0.25
+               + least(1.0, n_stop / n_words * 5) * 0.25, 6) AS quality,
+         CAST(n_words AS BIGINT) AS n_tokens
+  FROM (
+    SELECT doc_id,
+           len(w) AS n_words,
+           length(trim(text)) AS n_chars_t,
+           len(regexp_extract_all(trim(text), '[^A-Za-z0-9\s]')) AS n_punct,
+           len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+    FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents))),
+c AS (
+  SELECT doc_id, quality, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM s)
+SELECT doc_id, quality, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 8000
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
+    "q116_budget_select": q116_budget_select,
     "q42_lang_id": q42_lang_id,
     "q43_fingerprint": q43_fingerprint,
     "q44_media_meta": q44_media_meta,
@@ -909,6 +954,7 @@ ORACLE = {
     "q49_bm25": SQL49,
     "q40_token_stats": SQL40,
     "q41_quality": SQL41,
+    "q116_budget_select": SQL116,
     "q42_lang_id": SQL42,
     "q43_fingerprint": SQL43,
     "q44_media_meta": SQL44,

@@ -128,7 +128,7 @@ class RefSim:
                 cyc_novel += 1
                 res.edges.append((base, u))
             seq += 1
-            queued[u] = (depth + prio[host], seq, depth, host)
+            queued[u] = (depth + prio[host], seq, depth, host, cycle)
 
         for raw in cfg.seeds():
             admit(raw, 0, 0)
@@ -144,14 +144,25 @@ class RefSim:
                 allow[p] = math.floor(tokens[p])
             # beanstalkd drain: scan in (priority, FIFO) order, honor
             # per-bucket allowance (bucket = host, or the registered
-            # domain under C33 grouping), stop at batch_size
+            # domain under C33 grouping), stop at batch_size. Under
+            # C34 aging the drain key uses the EFFECTIVE score
+            # (base − age // aging_every); the emitted order row
+            # records the effective score (the engine's schedule log
+            # does the same), while the queued tuple keeps the base
+            # score + admission cycle so later cycles re-derive it.
+            aging = cfg.priority_aging_every
             batch = []
-            for u, (score, s, depth, host) in sorted(
-                queued.items(), key=lambda kv: (kv[1][0], kv[1][1])
+            for u, (score, s, depth, host, ac) in sorted(
+                queued.items(),
+                key=lambda kv: (
+                    kv[1][0] - (c - kv[1][4]) // aging if aging else kv[1][0],
+                    kv[1][1],
+                ),
             ):
                 if allow[pk[host]] > 0:
                     allow[pk[host]] -= 1
-                    batch.append((u, score, s, depth, host))
+                    eff = score - (c - ac) // aging if aging else score
+                    batch.append((u, eff, s, depth, host, score, ac))
                     if len(batch) == cfg.batch_size:
                         break
             if not batch:
@@ -159,21 +170,22 @@ class RefSim:
             cyc_cands.clear()
             cyc_novel = 0
             n_docs = 0
-            for pos, (u, score, s, depth, host) in enumerate(batch, 1):
+            for pos, (u, eff, s, depth, host, score, ac) in enumerate(batch, 1):
                 del queued[u]
                 tokens[pk[host]] -= 1
                 i, j = cfg.url_to_page(u)
                 attempt = attempts.get(u, 0) + 1
                 ok = cfg.fetch_ok(i, j, attempt)
-                res.order.append((c, pos, u, host, score, s, depth, attempt, ok))
+                res.order.append((c, pos, u, host, eff, s, depth, attempt, ok))
                 if not ok:
                     # TTR analogue: the attempt consumed a token and a
                     # batch slot; the URL re-queues with its ORIGINAL
-                    # (score, seq) — FIFO position preserved — unless
-                    # retries are exhausted
+                    # (score, seq, admission cycle) — FIFO position
+                    # preserved, aging keeps accruing — unless retries
+                    # are exhausted
                     attempts[u] = attempt
                     if attempt < max_retries:
-                        queued[u] = (score, s, depth, host)
+                        queued[u] = (score, s, depth, host, ac)
                     continue
                 tgt = cfg.alias_target(i, j)
                 if tgt is not None:
@@ -235,7 +247,7 @@ class RefSim:
                         continue
                     seen[u] = c
                     seq += 1
-                    queued[u] = (0 + prio[host], seq, 0, host)
+                    queued[u] = (0 + prio[host], seq, 0, host, c)
             if cfg.reseed_after == c and cfg.reseed_k:
                 # C21 active re-crawl (the engine's reseed()): the k
                 # lexicographically-first seen URLs drop their old
@@ -257,7 +269,7 @@ class RefSim:
                         continue
                     seen[u] = c
                     seq += 1
-                    queued[u] = (0 + prio[host], seq, 0, host)
+                    queued[u] = (0 + prio[host], seq, 0, host, c)
             if cfg.robots_revoke_after == c:
                 # C6 robots revision (the engine's update_politeness):
                 # the revoked hosts' NEW rules — compiled from the same

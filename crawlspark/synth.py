@@ -171,6 +171,20 @@ class GraphConfig:
     # are byte-identical for every existing graph.
     subdomain_group: int = 1
     domain_politeness: bool = False
+    # C34: anti-starvation priority aging. When set, a queued URL's
+    # EFFECTIVE score at drain time is
+    #   score - (current_cycle - admission_cycle) // priority_aging_every
+    # so rows that keep losing the (score, seq) competition gain one
+    # point of priority every `priority_aging_every` cycles and
+    # eventually schedule — the aging escalation production frontier
+    # schedulers (Heritrix cost policies, Frontera queue revisits)
+    # apply so low-priority hosts aren't starved forever by a steady
+    # stream of fresh high-priority discoveries. The frontier row's
+    # STORED score stays the base score (aging is drain-time column
+    # math off cycle_id, exactly re-derivable after resume); the
+    # schedule log and the refsim both record the effective score.
+    # None = off: the drain key is byte-identical to before.
+    priority_aging_every: int | None = None
 
     # -- topology ----------------------------------------------------------
 
@@ -674,6 +688,14 @@ UNIT_MEDIA = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 UNIT_DOMGROUP = GraphConfig(n_sites=6, max_pages=40, batch_size=12,
                             max_cycles=7, subdomain_group=3,
                             domain_politeness=True)
+# UNIT-scale graph under anti-starvation priority aging (C34): a
+# tight batch (8) keeps a long queue waiting, and aging_every=2 lets
+# rows that keep losing the (score, seq) competition gain a point of
+# priority every 2 queued cycles — the drain order measurably departs
+# from the unaged twin (old deep/low-priority rows leapfrog fresh
+# discoveries), which is exactly the contract q115 checks.
+UNIT_AGING = GraphConfig(n_sites=6, max_pages=40, batch_size=8,
+                         max_cycles=8, priority_aging_every=2)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,
