@@ -653,3 +653,84 @@ def budget_select(
         .filter(F.col("cum_cost") <= budget)
         .drop("_pid", "_off")
     )
+
+
+def bpe_merges(df: DataFrame, text_col: str, k_rounds: int = 10) -> DataFrame:
+    """P39: distributed BPE merge learning — the tokenizer-training
+    prep step. The corpus is scanned ONCE into a word-frequency table;
+    every merge round then runs on that compact table (vocab-sized,
+    ~10^7 rows at web scale — never the corpus again), which is how
+    BPE training stays tractable at 100 TB: corpus bytes cost one
+    pass, rounds cost ∝ vocab.
+
+    Per round: count adjacent symbol pairs weighted by word frequency
+    (overlapping occurrences counted, standard BPE), partial-aggregated
+    groupBy; the argmax (count DESC, then lexicographic (left, right))
+    is ONE collected scalar row — the driver holds k_rounds rules,
+    never data; the merge applies as a literal string replace over the
+    space-separated symbol strings (left-to-right, non-overlapping —
+    Spark's replace and Python's str.replace agree exactly, which is
+    what makes the sequential pure-Python twin bit-exact).
+
+    Returns (round, left, right, merged, pair_count) — k_rounds rows
+    (fewer if the pair table drains first).
+    """
+    freq = (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    sym = freq.select("freq", F.array_join(chars, " ").alias("sym"))
+    from .dedup import _materialize
+
+    sym = _materialize(sym)
+    spark = df.sparkSession
+    merges = []
+    for r in range(1, k_rounds + 1):
+        s = F.split("sym", " ")
+        idx = F.when(
+            F.size(s) >= 2, F.sequence(F.lit(1), F.size(s) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            sym.select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            F.element_at(s, i).alias("left"),
+                            F.element_at(s, i + 1).alias("right"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("left"), F.col("right")
+        ).limit(1).collect()
+        if not best:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["pair_count"]
+        merges.append((r, left, right, left + right, int(cnt)))
+        sym = _materialize(
+            sym.select(
+                "freq",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                        F.lit(f" {left} {right} "),
+                        F.lit(f" {left}{right} "),
+                    )
+                ).alias("sym"),
+            )
+        )
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, merged string, pair_count long"
+    )

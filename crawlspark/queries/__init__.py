@@ -61,8 +61,13 @@ _WINDOW = [
     # streaming S1–S9 (q94 streaming dedup rotated in r4; q97
     # stream-stream join and q107 stream-static enrichment are new r4)
     "q90_stream_window_rates", "q91_stream_sessions",
-    "q92_stream_token_buckets", "q93_crawl_stream_rates",
+    "q93_crawl_stream_rates",
     "q94_stream_distinct", "q97_stream_join", "q107_stream_enrich",
+    # P39 distributed BPE merge learning (q117, first hard row) takes
+    # the slot of q92 stream token buckets (S5, hard r3 — the
+    # streaming family keeps six in-window representatives
+    # q90/q91/q93/q94/q97/q107; S5 stays full-registry-checked)
+    "q117_bpe_merges",
     # similarity P8 + P34: IVF coarse-quantizer and the new SQ8
     # int8-quantized scan (q105, first hard row). The band-OR LSH
     # variant (q63) rotates to the tail on its r3 hard row — the

@@ -874,8 +874,93 @@ def build_oracle(sf: str | None = None) -> dict[str, str]:
 
             shutil.rmtree(tmp, ignore_errors=True)
     return {
-        "q111_compression_quality": f"SELECT * FROM read_parquet('{out_path}')"
+        "q111_compression_quality": f"SELECT * FROM read_parquet('{out_path}')",
+        "q117_bpe_merges": _q117_oracle(sf),
     }
+
+
+_Q117_VERSION = 1
+_Q117_ROUNDS = 10
+
+
+def _q117_oracle(sf: str) -> str:
+    """Expectation-parquet oracle for q117: a sequential pure-Python
+    BPE twin over the same documents parquet — word-frequency dict,
+    per-round overlapping pair counts, argmax on (count DESC, pair
+    lex ASC), left-to-right non-overlapping str.replace merge (the
+    exact semantics of Spark's replace over the space-joined symbol
+    string). Idempotent per (sf, version)."""
+    import os
+    import tempfile as _tf
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = sf.strip("/").replace("/", "_")
+    out_dir = f"/tmp/crawlspark_q117_oracle_v{_Q117_VERSION}_{key}"
+    out_path = os.path.join(out_dir, "q117.parquet")
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+        t = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+        freq: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for w in (txt or "").strip().split(" "):
+                if w:
+                    freq[w] = freq.get(w, 0) + 1
+        syms = {" ".join(w): f for w, f in freq.items()}
+        rounds, lefts, rights, mergeds, counts = [], [], [], [], []
+        for r in range(1, _Q117_ROUNDS + 1):
+            pc: dict[tuple, int] = {}
+            for sym, f in syms.items():
+                parts = sym.split(" ")
+                for i in range(len(parts) - 1):
+                    pc[(parts[i], parts[i + 1])] = (
+                        pc.get((parts[i], parts[i + 1]), 0) + f
+                    )
+            if not pc:
+                break
+            (l, rr), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            rounds.append(r); lefts.append(l); rights.append(rr)
+            mergeds.append(l + rr); counts.append(cnt)
+            nxt: dict[str, int] = {}
+            for sym, f in syms.items():
+                ns = (" " + sym + " ").replace(
+                    f" {l} {rr} ", f" {l}{rr} "
+                ).strip()
+                nxt[ns] = nxt.get(ns, 0) + f
+            syms = nxt
+        tbl = pa.table(
+            {
+                "round": pa.array(rounds, pa.int32()),
+                "left": pa.array(lefts, pa.string()),
+                "right": pa.array(rights, pa.string()),
+                "merged": pa.array(mergeds, pa.string()),
+                "pair_count": pa.array(counts, pa.int64()),
+            }
+        )
+        tmp = _tf.mkdtemp(prefix=f"{out_dir}.stage-")
+        pq.write_table(tbl, os.path.join(tmp, "q117.parquet"))
+        open(os.path.join(tmp, "_DONE"), "w").write("ok")
+        try:
+            os.replace(tmp, out_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return f"SELECT * FROM read_parquet('{out_path}')"
+
+
+# --- distributed BPE merge learning (P39) ---------------------------------
+
+def q117_bpe_merges(spark, sf):
+    """P39: the first 10 BPE merge rules learned distributed — corpus
+    scanned once into a word-frequency table, each round a
+    partial-aggregated pair count over that compact table with one
+    collected argmax scalar; merges apply as literal string replaces
+    (left-to-right non-overlapping, bit-identical to the sequential
+    twin's str.replace). Oracle: expectation parquet from the
+    pure-Python twin (the q111 differential pattern)."""
+    d = T(spark, sf, "documents")
+    return textstats.bpe_merges(d, "text", k_rounds=10)
 
 
 # --- token-budgeted corpus selection (P38) --------------------------------
@@ -926,6 +1011,7 @@ QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
     "q116_budget_select": q116_budget_select,
+    "q117_bpe_merges": q117_bpe_merges,
     "q42_lang_id": q42_lang_id,
     "q43_fingerprint": q43_fingerprint,
     "q44_media_meta": q44_media_meta,
