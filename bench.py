@@ -47,6 +47,9 @@ HEADLINE = [
     "q95_curation",
     "q99_tfidf",
     "q105_quantized_topk",
+    # extended-round components (BASELINE.md notes the set growth)
+    "q113_span_dedup",
+    "q116_budget_select",
 ]
 
 
