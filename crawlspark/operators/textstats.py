@@ -734,3 +734,50 @@ def bpe_merges(df: DataFrame, text_col: str, k_rounds: int = 10) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, left string, right string, merged string, pair_count long"
     )
+
+
+def bpe_apply(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """P40: tokenize the corpus with learned BPE merges — the apply
+    side of :func:`bpe_merges` (the rules are the driver-held
+    tokenizer artifact, k tiny rows; holding them on the driver is the
+    broadcast-a-model pattern, not a data collect).
+
+    Scale shape (100 TB corpus, 10^7-word vocab): the corpus is
+    scanned ONCE into a word-frequency table; the k merges apply over
+    the DISTINCT vocab only — k chained literal string replaces on the
+    space-joined character string, pure JVM whole-stage codegen, cost
+    ∝ vocab × k, never corpus × k. Token counts then explode the
+    (vocab-sized) symbol strings weighted by word frequency — a
+    partial-aggregated groupBy, so the shuffle carries ≤ vocab ×
+    tokens-per-word rows.
+
+    Replace semantics match :func:`bpe_merges` exactly: each merge is
+    a literal ``" l r " → " lr "`` replace over the space-padded
+    symbol string. Chaining the k replaces over ONE padding is
+    equivalent to the per-round pad/replace/trim (each replace
+    preserves single spacing and the outer pad), which is what makes
+    the sequential pure-Python twin bit-exact.
+
+    Returns (token, n_occurrences): the corpus token-frequency table
+    under the learned vocabulary.
+    """
+    freq = (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    sym = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    for left, right in merges:
+        sym = F.replace(sym, F.lit(f" {left} {right} "), F.lit(f" {left}{right} "))
+    return (
+        freq.select("freq", F.explode(F.split(F.trim(sym), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+    )

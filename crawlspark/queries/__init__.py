@@ -68,6 +68,11 @@ _WINDOW = [
     # streaming family keeps six in-window representatives
     # q90/q91/q93/q94/q97/q107; S5 stays full-registry-checked)
     "q117_bpe_merges",
+    # P40 BPE apply/tokenize (q118, first hard row) takes the slot of
+    # q52 near-dup pairs (P3, hard-green r1+r2+r3 — the identical
+    # band self-join + exact-Jaccard-verify machinery runs in-window
+    # inside q106's pair stage and q70's incremental probe)
+    "q118_bpe_tokenize",
     # similarity P8 + P34: IVF coarse-quantizer and the new SQ8
     # int8-quantized scan (q105, first hard row). The band-OR LSH
     # variant (q63) rotates to the tail on its r3 hard row — the
@@ -80,12 +85,13 @@ _WINDOW = [
     # (q106, first hard row — composes the q52 band join and q56
     # min-label clustering in-window) + the new P37 exact-substring
     # span dedup (q113, first hard row). The signature-intermediate
-    # variants (q51/q53/q55) stay in the tail; q54 simhash pairs
-    # (P4/P5), q57 embedding near-dups (P19), q59 chunk dedup (P25)
-    # and q56 clusters (P17 — its min-label propagation runs
-    # in-window inside q106's connected-components stage) rotate to
-    # the tail on their r3 hard rows.
-    "q52_near_dup_pairs",
+    # variants (q51/q53/q55) stay in the tail; q52 near-dup pairs
+    # (P3, hard r1+r2+r3 — its band join + exact verify run in-window
+    # inside q106/q70), q54 simhash pairs (P4/P5), q57 embedding
+    # near-dups (P19), q59 chunk dedup (P25) and q56 clusters (P17 —
+    # its min-label propagation runs in-window inside q106's
+    # connected-components stage) rotate to the tail on their hard
+    # rows.
     "q70_incremental_dedup", "q106_leakage_safe_split",
     "q113_span_dedup",
     # text/LLM pipeline. New r4 first-class components enter: P30

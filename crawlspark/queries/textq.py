@@ -876,76 +876,130 @@ def build_oracle(sf: str | None = None) -> dict[str, str]:
     return {
         "q111_compression_quality": f"SELECT * FROM read_parquet('{out_path}')",
         "q117_bpe_merges": _q117_oracle(sf),
+        "q118_bpe_tokenize": _q118_oracle(sf),
     }
 
 
 _Q117_VERSION = 1
 _Q117_ROUNDS = 10
+_Q118_VERSION = 1
 
 
-def _q117_oracle(sf: str) -> str:
-    """Expectation-parquet oracle for q117: a sequential pure-Python
-    BPE twin over the same documents parquet — word-frequency dict,
-    per-round overlapping pair counts, argmax on (count DESC, pair
-    lex ASC), left-to-right non-overlapping str.replace merge (the
-    exact semantics of Spark's replace over the space-joined symbol
-    string). Idempotent per (sf, version)."""
+def _bpe_learn_py(sf: str, rounds: int):
+    """Sequential pure-Python BPE twin over the documents parquet —
+    word-frequency dict, per-round overlapping pair counts, argmax on
+    (count DESC, pair lex ASC), left-to-right non-overlapping
+    str.replace merge (the exact semantics of Spark's replace over the
+    space-joined symbol string). Returns (merge_rows, final_syms):
+    merge_rows = [(round, left, right, merged, pair_count)], final_syms
+    maps the fully-merged symbol string of each vocab word to its
+    corpus frequency (words that collapse to the same symbol string
+    pool their frequencies — only token counting consumes it)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+    freq: dict[str, int] = {}
+    for txt in t.column("text").to_pylist():
+        for w in (txt or "").strip().split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    syms = {" ".join(w): f for w, f in freq.items()}
+    rows = []
+    for r in range(1, rounds + 1):
+        pc: dict[tuple, int] = {}
+        for sym, f in syms.items():
+            parts = sym.split(" ")
+            for i in range(len(parts) - 1):
+                pc[(parts[i], parts[i + 1])] = (
+                    pc.get((parts[i], parts[i + 1]), 0) + f
+                )
+        if not pc:
+            break
+        (l, rr), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((r, l, rr, l + rr, cnt))
+        nxt: dict[str, int] = {}
+        for sym, f in syms.items():
+            ns = (" " + sym + " ").replace(
+                f" {l} {rr} ", f" {l}{rr} "
+            ).strip()
+            nxt[ns] = nxt.get(ns, 0) + f
+        syms = nxt
+    return rows, syms
+
+
+def _write_expectation(out_dir: str, fname: str, tbl) -> None:
+    """Atomically publish an expectation parquet (stage dir + _DONE
+    marker + rename — the idempotent pattern every parquet oracle here
+    uses)."""
     import os
     import tempfile as _tf
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
+
+    tmp = _tf.mkdtemp(prefix=f"{out_dir}.stage-")
+    pq.write_table(tbl, os.path.join(tmp, fname))
+    open(os.path.join(tmp, "_DONE"), "w").write("ok")
+    try:
+        os.replace(tmp, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q117_oracle(sf: str) -> str:
+    """Expectation-parquet oracle for q117 (merge-rule table from the
+    sequential twin). Idempotent per (sf, version)."""
+    import os
+
+    import pyarrow as pa
 
     key = sf.strip("/").replace("/", "_")
     out_dir = f"/tmp/crawlspark_q117_oracle_v{_Q117_VERSION}_{key}"
     out_path = os.path.join(out_dir, "q117.parquet")
     if not os.path.exists(os.path.join(out_dir, "_DONE")):
-        t = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
-        freq: dict[str, int] = {}
-        for txt in t.column("text").to_pylist():
-            for w in (txt or "").strip().split(" "):
-                if w:
-                    freq[w] = freq.get(w, 0) + 1
-        syms = {" ".join(w): f for w, f in freq.items()}
-        rounds, lefts, rights, mergeds, counts = [], [], [], [], []
-        for r in range(1, _Q117_ROUNDS + 1):
-            pc: dict[tuple, int] = {}
-            for sym, f in syms.items():
-                parts = sym.split(" ")
-                for i in range(len(parts) - 1):
-                    pc[(parts[i], parts[i + 1])] = (
-                        pc.get((parts[i], parts[i + 1]), 0) + f
-                    )
-            if not pc:
-                break
-            (l, rr), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-            rounds.append(r); lefts.append(l); rights.append(rr)
-            mergeds.append(l + rr); counts.append(cnt)
-            nxt: dict[str, int] = {}
-            for sym, f in syms.items():
-                ns = (" " + sym + " ").replace(
-                    f" {l} {rr} ", f" {l}{rr} "
-                ).strip()
-                nxt[ns] = nxt.get(ns, 0) + f
-            syms = nxt
+        rows, _syms = _bpe_learn_py(sf, _Q117_ROUNDS)
         tbl = pa.table(
             {
-                "round": pa.array(rounds, pa.int32()),
-                "left": pa.array(lefts, pa.string()),
-                "right": pa.array(rights, pa.string()),
-                "merged": pa.array(mergeds, pa.string()),
-                "pair_count": pa.array(counts, pa.int64()),
+                "round": pa.array([r[0] for r in rows], pa.int32()),
+                "left": pa.array([r[1] for r in rows], pa.string()),
+                "right": pa.array([r[2] for r in rows], pa.string()),
+                "merged": pa.array([r[3] for r in rows], pa.string()),
+                "pair_count": pa.array([r[4] for r in rows], pa.int64()),
             }
         )
-        tmp = _tf.mkdtemp(prefix=f"{out_dir}.stage-")
-        pq.write_table(tbl, os.path.join(tmp, "q117.parquet"))
-        open(os.path.join(tmp, "_DONE"), "w").write("ok")
-        try:
-            os.replace(tmp, out_dir)
-        except OSError:
-            import shutil
+        _write_expectation(out_dir, "q117.parquet", tbl)
+    return f"SELECT * FROM read_parquet('{out_path}')"
 
-            shutil.rmtree(tmp, ignore_errors=True)
+
+def _q118_oracle(sf: str) -> str:
+    """Expectation-parquet oracle for q118 (corpus token frequencies
+    under the learned merges): the twin's final symbol strings ARE the
+    tokenized vocab, so counting is a dict fold over them weighted by
+    word frequency. Idempotent per (sf, version)."""
+    import os
+
+    import pyarrow as pa
+
+    key = sf.strip("/").replace("/", "_")
+    out_dir = f"/tmp/crawlspark_q118_oracle_v{_Q118_VERSION}_{key}"
+    out_path = os.path.join(out_dir, "q118.parquet")
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+        _rows, syms = _bpe_learn_py(sf, _Q117_ROUNDS)
+        tokens: dict[str, int] = {}
+        for sym, f in syms.items():
+            for tok in sym.split(" "):
+                tokens[tok] = tokens.get(tok, 0) + f
+        items = sorted(tokens.items())
+        tbl = pa.table(
+            {
+                "token": pa.array([k for k, _ in items], pa.string()),
+                "n_occurrences": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+        _write_expectation(out_dir, "q118.parquet", tbl)
     return f"SELECT * FROM read_parquet('{out_path}')"
 
 
@@ -961,6 +1015,26 @@ def q117_bpe_merges(spark, sf):
     pure-Python twin (the q111 differential pattern)."""
     d = T(spark, sf, "documents")
     return textstats.bpe_merges(d, "text", k_rounds=10)
+
+
+# --- BPE tokenization with learned merges (P40) ---------------------------
+
+def q118_bpe_tokenize(spark, sf):
+    """P40: the apply side of q117 — learn the 10 merge rules (one
+    collected k-row tokenizer artifact), then tokenize the corpus with
+    them: merges run as k chained literal replaces over the DISTINCT
+    word vocabulary only (JVM codegen, cost ∝ vocab × k, never corpus
+    × k), token counts explode the merged symbol strings weighted by
+    word frequency (partial-agg groupBy). Output: the corpus
+    token-frequency table. Oracle: expectation parquet from the
+    sequential twin's final symbol strings (shared learner with
+    q117's oracle)."""
+    d = T(spark, sf, "documents")
+    rules = sorted(
+        textstats.bpe_merges(d, "text", k_rounds=10).collect(),
+        key=lambda r: r["round"],
+    )
+    return textstats.bpe_apply(d, "text", [(r["left"], r["right"]) for r in rules])
 
 
 # --- token-budgeted corpus selection (P38) --------------------------------
@@ -1012,6 +1086,7 @@ QUERIES = {
     "q41_quality": q41_quality,
     "q116_budget_select": q116_budget_select,
     "q117_bpe_merges": q117_bpe_merges,
+    "q118_bpe_tokenize": q118_bpe_tokenize,
     "q42_lang_id": q42_lang_id,
     "q43_fingerprint": q43_fingerprint,
     "q44_media_meta": q44_media_meta,

@@ -34,3 +34,48 @@ def test_bpe_textbook_merges(spark):
 
 def test_bpe_partitioning_invariant(spark):
     assert _run(spark, 1) == _run(spark, 5) == EXPECT
+
+
+def _apply_py(word, merges):
+    s = " " + " ".join(word) + " "
+    for l, r in merges:
+        s = s.replace(f" {l} {r} ", f" {l}{r} ")
+    return s.strip().split(" ")
+
+
+def test_bpe_apply_matches_sequential(spark):
+    """P40 apply: Spark's vocab-side chained replaces == the sequential
+    per-word twin, token counts weighted by corpus word frequency."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"]).repartition(3)
+    merges = [(l, r) for (_, l, r, _, _) in EXPECT]
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in textstats.bpe_apply(df, "text", merges).collect()
+    }
+    want: dict[str, int] = {}
+    for _, text in DOCS:
+        for w in text.split(" "):
+            for t in _apply_py(w, merges):
+                want[t] = want.get(t, 0) + 1
+    assert got == want
+    # spot-check the hand expectation: "low" fully merges (3 from
+    # "low" + 2 inside "lower"); "lower" becomes low-er; "newest" has
+    # no adjacent e-r, so it stays fully character-split
+    assert got["low"] == 5 and got["er"] == 2
+    assert "newest" not in got and got["n"] == 1
+
+
+def test_bpe_apply_learned_end_to_end(spark):
+    """Learn on the corpus, apply the learned rules: every original
+    character occurrence is conserved across tokens."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    rules = sorted(
+        textstats.bpe_merges(df, "text", k_rounds=3).collect(),
+        key=lambda r: r["round"],
+    )
+    toks = textstats.bpe_apply(
+        df, "text", [(r["left"], r["right"]) for r in rules]
+    ).collect()
+    n_chars_tok = sum(len(r["token"]) * r["n_occurrences"] for r in toks)
+    n_chars_src = sum(len(t.replace(" ", "")) for _, t in DOCS)
+    assert n_chars_tok == n_chars_src
