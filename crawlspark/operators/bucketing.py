@@ -163,6 +163,118 @@ def warc_records(
     )
 
 
+def wds_shards(
+    df: DataFrame, id_col: str, text_col: str, n_shards: int
+) -> DataFrame:
+    """R31 WebDataset-style tar shard export: pack each shard's samples
+    into ONE deterministic USTAR tar archive — the `{key}.ext`-members
+    layout that WebDataset/tarp dataloaders stream sequentially (the
+    standard large-scale training input format alongside parquet).
+
+    Shard membership is md5-60(id) mod n_shards (deterministic under
+    any partitioning/retry — same discipline as :func:`shard_plan`);
+    within a shard, members are sorted by id, each sample one member
+    ``{id}.txt`` holding the UTF-8 text. Every header field is pinned
+    (mtime 0, uid/gid 0, mode 0644, USTAR magic, archive padded to the
+    10240-byte record size), so the tar BYTES — not just the contents
+    — are reproducible, and the driver's oracle twin hand-rolls the
+    same USTAR layout without the tarfile library (a format-level
+    differential: header packing, checksum arithmetic and padding are
+    all cross-checked, not shared).
+
+    Scale shape (100 TB corpus): the grouped build is one
+    ``applyInPandas`` per shard — per-task memory ∝ ONE shard (the
+    caller sizes n_shards so a shard is a few hundred MB, the same
+    knob as :func:`shard_plan`), shards build in parallel across
+    executors, and the single shuffle is the groupBy(shard_id). A
+    production writer streams each tar straight to object storage;
+    here the archive returns as a binary column so the round-trip
+    stays a dataflow assertion.
+
+    Output: (shard_id, n_samples, tar_bytes, tar_sha256, tar).
+    """
+    import hashlib
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from ..portable import md5hash60
+
+    out_schema = (
+        "shard_id int, n_samples long, tar_bytes long, "
+        "tar_sha256 string, tar binary"
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for _, row in pdf.iterrows():
+                payload = (row["text"] or "").encode("utf-8")
+                ti = tarfile.TarInfo(name=f"{row['id']}.txt")
+                ti.size = len(payload)
+                ti.mtime = 0
+                ti.uid = 0
+                ti.gid = 0
+                ti.mode = 0o644
+                ti.uname = ""
+                ti.gname = ""
+                tf.addfile(ti, io.BytesIO(payload))
+        raw = buf.getvalue()
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "n_samples": [len(pdf)],
+                "tar_bytes": [len(raw)],
+                "tar_sha256": [hashlib.sha256(raw).hexdigest()],
+                "tar": [raw],
+            }
+        )
+
+    base = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(text_col).alias("text"),
+        F.pmod(md5hash60(id_col), F.lit(n_shards)).cast("int").alias("shard_id"),
+    )
+    return base.groupBy("shard_id").applyInPandas(_build, out_schema)
+
+
+def wds_parse(df: DataFrame, tar_col: str = "tar") -> DataFrame:
+    """R31 consumer side: stream each tar archive back into its
+    samples — (shard_id, id, text) — exactly what a WebDataset
+    dataloader does. ``mapInPandas`` so archives unpack Arrow-batched
+    and the output explodes without materializing all shards in one
+    task."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    def _parse(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                names, texts = [], []
+                with tarfile.open(fileobj=io.BytesIO(row[tar_col])) as tf:
+                    for m in tf:
+                        fh = tf.extractfile(m)
+                        names.append(m.name.removesuffix(".txt"))
+                        texts.append(
+                            (fh.read() if fh and m.size else b"").decode("utf-8")
+                        )
+                yield pd.DataFrame(
+                    {
+                        "shard_id": [int(row["shard_id"])] * len(names),
+                        "id": names,
+                        "text": texts,
+                    }
+                )
+
+    return df.select("shard_id", tar_col).mapInPandas(
+        _parse, "shard_id int, id string, text string"
+    )
+
+
 def parse_warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
     """R30 WARC ingestion — the consumer side of :func:`warc_records`
     (what a Common Crawl reader does): recover (uri, text) from a

@@ -101,7 +101,13 @@ _WINDOW = [
     # rows), P31 TF-IDF (q99), R29 WARC export (q100). q43
     # fingerprinting rotates out on its r2+r3 hard rows.
     "q95_curation", "q99_tfidf", "q100_warc_export",
-    "q46_repetition", "q47_contamination", "q48_lm_quality",
+    # R31 WebDataset-style tar shard export (q119, first hard row —
+    # hand-rolled-USTAR format differential) takes the slot of q48
+    # LM-quality scoring (P22, hard r3 — its word-gram substrate and
+    # partial-agg model machinery run in-window inside q46 repetition,
+    # q47 contamination and q49 BM25)
+    "q119_wds_shards",
+    "q46_repetition", "q47_contamination",
     "q49_bm25", "q58_seq_packing",
     "q66_boilerplate", "q69_mixture", "q74_pii_scrub",
     "q75_shard_manifest",

@@ -763,6 +763,115 @@ FROM documents
 """
 
 
+# --- WebDataset-style tar shard export + round-trip (R31) ------------------
+
+def q119_wds_shards(spark, sf):
+    """R31: the corpus packed into deterministic WebDataset-style tar
+    shards (one USTAR archive per md5-60(id)-mod-8 shard, members
+    ``{doc_id}.txt`` sorted by id, every header field pinned), then
+    streamed BACK out of the archives and byte-compared to the source
+    — per-shard manifest (n_samples, tar_bytes, tar_sha256,
+    n_roundtrip). The oracle twin hand-rolls the same USTAR layout
+    without the tarfile library, so header packing, checksum
+    arithmetic and record padding are format-level cross-checked, not
+    shared code."""
+    from ..operators import bucketing
+    from ..operators.dedup import _materialize
+
+    d = T(spark, sf, "documents")
+    # consumed twice (manifest + parse); build each tar exactly once
+    shards = _materialize(bucketing.wds_shards(d, "doc_id", "text", n_shards=8))
+    parsed = bucketing.wds_parse(shards)
+    orig = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("otext"),
+    )
+    counts = (
+        parsed.join(orig, "id")
+        .filter(F.col("text") == F.col("otext"))
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_roundtrip"))
+    )
+    return shards.select(
+        "shard_id", "n_samples", "tar_bytes", "tar_sha256"
+    ).join(counts, "shard_id")
+
+
+_Q119_VERSION = 1
+_Q119_SHARDS = 8
+
+
+def _q119_oracle(sf: str) -> str:
+    """Expectation-parquet oracle for q119: a hand-rolled USTAR writer
+    (no tarfile import — independent header packing, checksum and
+    record padding) over the same grouping/ordering. Idempotent per
+    (sf, version)."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = sf.strip("/").replace("/", "_")
+    out_dir = f"/tmp/crawlspark_q119_oracle_v{_Q119_VERSION}_{key}"
+    out_path = os.path.join(out_dir, "q119.parquet")
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+
+        def _oct(n: int, width: int) -> bytes:
+            return ("%0*o" % (width - 1, n)).encode("ascii") + b"\0"
+
+        def _tar(samples: list[tuple[str, bytes]]) -> bytes:
+            out = bytearray()
+            for name, payload in samples:
+                h = bytearray(512)
+                nb = name.encode("utf-8")
+                h[0 : len(nb)] = nb
+                h[100:108] = _oct(0o644, 8)
+                h[108:116] = _oct(0, 8)
+                h[116:124] = _oct(0, 8)
+                h[124:136] = _oct(len(payload), 12)
+                h[136:148] = _oct(0, 12)
+                h[148:156] = b" " * 8
+                h[156:157] = b"0"
+                h[257:263] = b"ustar\0"
+                h[263:265] = b"00"
+                h[148:156] = ("%06o" % sum(h)).encode("ascii") + b"\0 "
+                out += h
+                out += payload
+                out += b"\0" * ((-len(payload)) % 512)
+            out += b"\0" * 1024
+            out += b"\0" * ((-len(out)) % 10240)
+            return bytes(out)
+
+        t = pq.read_table(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        groups: dict[int, list[tuple[str, bytes]]] = {}
+        for did, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            sid = int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16) % _Q119_SHARDS
+            groups.setdefault(sid, []).append((str(did), (txt or "").encode("utf-8")))
+        sids, ns, nb, sha, nrt = [], [], [], [], []
+        for sid in sorted(groups):
+            samples = sorted(groups[sid], key=lambda s: s[0])
+            raw = _tar([(f"{i}.txt", p) for i, p in samples])
+            sids.append(sid)
+            ns.append(len(samples))
+            nb.append(len(raw))
+            sha.append(hashlib.sha256(raw).hexdigest())
+            nrt.append(len(samples))
+        tbl = pa.table(
+            {
+                "shard_id": pa.array(sids, pa.int32()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "tar_bytes": pa.array(nb, pa.int64()),
+                "tar_sha256": pa.array(sha, pa.string()),
+                "n_roundtrip": pa.array(nrt, pa.int64()),
+            }
+        )
+        _write_expectation(out_dir, "q119.parquet", tbl)
+    return f"SELECT * FROM read_parquet('{out_path}')"
+
+
 # --- domain-level quality with empirical-Bayes shrinkage (P33) -----------
 
 def q103_domain_quality(spark, sf):
@@ -877,6 +986,7 @@ def build_oracle(sf: str | None = None) -> dict[str, str]:
         "q111_compression_quality": f"SELECT * FROM read_parquet('{out_path}')",
         "q117_bpe_merges": _q117_oracle(sf),
         "q118_bpe_tokenize": _q118_oracle(sf),
+        "q119_wds_shards": _q119_oracle(sf),
     }
 
 
@@ -1087,6 +1197,7 @@ QUERIES = {
     "q116_budget_select": q116_budget_select,
     "q117_bpe_merges": q117_bpe_merges,
     "q118_bpe_tokenize": q118_bpe_tokenize,
+    "q119_wds_shards": q119_wds_shards,
     "q42_lang_id": q42_lang_id,
     "q43_fingerprint": q43_fingerprint,
     "q44_media_meta": q44_media_meta,
