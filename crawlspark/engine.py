@@ -113,11 +113,18 @@ class CrawlEngine:
         return F.pmod(F.col(col), F.lit(self.cfg.n_seen_parts)).cast("int")
 
     def _pol_expr(self, col: str = "host"):
-        """C33: the politeness-bucket key of a host column — the
-        registered domain (last three labels; refsim twin
-        pol_key_of_host) under domain grouping, else the host itself."""
+        """C33: the politeness-bucket key of a host column — the PSL
+        registered domain (full publicsuffix algorithm over
+        graph.psl_rules; refsim twin pol_key_of_host) under domain
+        grouping, else the host itself. Hosts that ARE a public
+        suffix key as themselves (coalesce)."""
         if self.cfg.graph.domain_politeness:
-            return F.substring_index(F.col(col), ".", -3)
+            from .urlnorm import registered_domain
+
+            return F.coalesce(
+                registered_domain(F.col(col), self.cfg.graph.psl_rules),
+                F.col(col),
+            )
         return F.col(col)
 
     def _pol_hc(self, hc):

@@ -872,6 +872,81 @@ def _q119_oracle(sf: str) -> str:
     return f"SELECT * FROM read_parquet('{out_path}')"
 
 
+# --- nested-PSL registered-domain extraction (C33 extension) ---------------
+
+_Q120_VERSION = 1
+_Q120_SFX = ["com", "co.uk", "com.au", "k12.ca.us", "other.ck", "www.ck"]
+_Q120_RULES = (
+    "com", "uk", "co.uk", "au", "com.au", "us", "ca.us", "k12.ca.us",
+    "*.ck", "!www.ck",
+)
+
+
+def q120_psl_domains(spark, sf):
+    """C33 nested-PSL extension: the full publicsuffix.org registered-
+    domain algorithm (multi-level rules like co.uk/k12.ca.us, wildcard
+    *.ck, exception !www.ck, implicit * default) as pure JVM column
+    math over a deterministic host table derived from `customer` —
+    every suffix family × subdomain depth 1–3. This is the politeness
+    bucket key the engine's C33 grouping uses (engine._pol_expr routes
+    through the same operator). Oracle: expectation parquet from the
+    independent sequential twin (urlnorm.registered_domain_py)."""
+    from ..urlnorm import registered_domain
+
+    c = T(spark, sf, "customer")
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _Q120_SFX]),
+        (F.pmod(F.col("c_custkey"), F.lit(6)) + 1).cast("int"),
+    )
+    prefix = F.element_at(
+        F.array(F.lit(""), F.lit("a."), F.lit("b.a.")),
+        (F.pmod(F.col("c_custkey"), F.lit(3)) + 1).cast("int"),
+    )
+    host = F.concat(
+        prefix, F.lit("site"), F.col("c_custkey").cast("string"), F.lit("."), sfx
+    )
+    return c.select(
+        host.alias("host"),
+        registered_domain(host, _Q120_RULES).alias("registered"),
+    )
+
+
+def _q120_oracle(sf: str) -> str:
+    """Expectation parquet for q120: same host construction, the
+    sequential PSL twin for the registered domain."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..urlnorm import registered_domain_py
+
+    key = sf.strip("/").replace("/", "_")
+    out_dir = f"/tmp/crawlspark_q120_oracle_v{_Q120_VERSION}_{key}"
+    out_path = os.path.join(out_dir, "q120.parquet")
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+        t = pq.read_table(
+            os.path.join(sf, "customer.parquet"), columns=["c_custkey"]
+        )
+        hosts, regs = [], []
+        for k in t.column("c_custkey").to_pylist():
+            h = (
+                ["", "a.", "b.a."][k % 3]
+                + f"site{k}."
+                + _Q120_SFX[k % 6]
+            )
+            hosts.append(h)
+            regs.append(registered_domain_py(h, _Q120_RULES))
+        tbl = pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "registered": pa.array(regs, pa.string()),
+            }
+        )
+        _write_expectation(out_dir, "q120.parquet", tbl)
+    return f"SELECT * FROM read_parquet('{out_path}')"
+
+
 # --- domain-level quality with empirical-Bayes shrinkage (P33) -----------
 
 def q103_domain_quality(spark, sf):
@@ -987,6 +1062,7 @@ def build_oracle(sf: str | None = None) -> dict[str, str]:
         "q117_bpe_merges": _q117_oracle(sf),
         "q118_bpe_tokenize": _q118_oracle(sf),
         "q119_wds_shards": _q119_oracle(sf),
+        "q120_psl_domains": _q120_oracle(sf),
     }
 
 
@@ -1198,6 +1274,7 @@ QUERIES = {
     "q117_bpe_merges": q117_bpe_merges,
     "q118_bpe_tokenize": q118_bpe_tokenize,
     "q119_wds_shards": q119_wds_shards,
+    "q120_psl_domains": q120_psl_domains,
     "q42_lang_id": q42_lang_id,
     "q43_fingerprint": q43_fingerprint,
     "q44_media_meta": q44_media_meta,

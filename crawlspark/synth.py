@@ -171,6 +171,14 @@ class GraphConfig:
     # are byte-identical for every existing graph.
     subdomain_group: int = 1
     domain_politeness: bool = False
+    # C33 nested-PSL extension: the public-suffix rule set the
+    # politeness bucket key derives from (urlnorm.registered_domain —
+    # plain/wildcard/exception rules, longest match wins). The default
+    # single rule "example.com" reproduces the original last-3-labels
+    # grouping on every synthetic host shape (asserted in
+    # tests/test_psl.py), so existing scenarios are byte-identical;
+    # real deployments pass the publicsuffix.org list here.
+    psl_rules: tuple = ("example.com",)
     # C34: anti-starvation priority aging. When set, a queued URL's
     # EFFECTIVE score at drain time is
     #   score - (current_cycle - admission_cycle) // priority_aging_every
@@ -209,11 +217,15 @@ class GraphConfig:
         raise ValueError(f"not a synthetic host: {host}")
 
     def pol_key_of_host(self, host: str) -> str:
-        """C33: the politeness-bucket key of a host — the registered
-        domain (last three labels) under domain grouping, else the
-        host itself. Spark twin: substring_index(host, '.', -3)."""
+        """C33: the politeness-bucket key of a host — the PSL
+        registered domain under domain grouping (full publicsuffix
+        algorithm over ``psl_rules``; hosts that ARE a public suffix
+        key as themselves), else the host itself. Spark twin:
+        urlnorm.registered_domain."""
         if self.domain_politeness:
-            return ".".join(host.split(".")[-3:])
+            from .urlnorm import registered_domain_py
+
+            return registered_domain_py(host, self.psl_rules) or host
         return host
 
     # -- per-host config ---------------------------------------------------
