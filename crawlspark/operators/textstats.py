@@ -781,3 +781,42 @@ def bpe_apply(
         .groupBy("token")
         .agg(F.sum("freq").alias("n_occurrences"))
     )
+
+
+def bpe_token_counts(
+    df: DataFrame, id_col: str, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """P40 per-document flavor: (id, n_tokens_bpe) — how many tokens
+    each document costs under the learned BPE vocabulary. This is the
+    number sequence packing (P24) and token budgeting (P38) should
+    consume instead of whitespace word counts: real packing budgets
+    are tokenizer tokens.
+
+    Same scale shape as :func:`bpe_apply`: one corpus scan into
+    per-doc word counts (partial-aggregated on (id, word)); the merges
+    apply over the DISTINCT vocab only (derived from the counts table,
+    so the corpus is not rescanned); the join back is vocab-sized on
+    the build side (AQE broadcasts while it fits) and the final sum is
+    a partial-aggregated groupBy(id).
+    """
+    wc = (
+        df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    sym = F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+    for left, right in merges:
+        sym = F.replace(sym, F.lit(f" {left} {right} "), F.lit(f" {left}{right} "))
+    vocab = wc.select("word").distinct().withColumn(
+        "n_toks", F.size(F.split(F.trim(sym), " ")).cast("long")
+    )
+    return (
+        wc.join(vocab, "word")
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.col("n_toks")).alias("n_tokens_bpe"))
+    )

@@ -1063,6 +1063,7 @@ def build_oracle(sf: str | None = None) -> dict[str, str]:
         "q118_bpe_tokenize": _q118_oracle(sf),
         "q119_wds_shards": _q119_oracle(sf),
         "q120_psl_domains": _q120_oracle(sf),
+        "q121_bpe_packing": _q121_oracle(sf),
     }
 
 
@@ -1223,6 +1224,84 @@ def q118_bpe_tokenize(spark, sf):
     return textstats.bpe_apply(d, "text", [(r["left"], r["right"]) for r in rules])
 
 
+# --- tokenizer-aware sequence packing (P40 ∘ P24) --------------------------
+
+_Q121_VERSION = 1
+_Q121_BUDGET = 4096
+
+
+def q121_bpe_packing(spark, sf):
+    """P40 ∘ P24 composition: pack documents by their REAL tokenizer
+    cost — per-doc BPE token counts under the learned merges (q117's
+    rules; vocab-side apply, corpus scanned once) feed the q58
+    contiguous-fill pack assignment. Packing by whitespace words
+    under-budgets docs whose words split into many subword tokens;
+    this is the number a training batch actually pays. Oracle:
+    expectation parquet from the sequential twin (per-word apply +
+    exclusive prefix sum in doc_id order)."""
+    from ..operators.textstats import pack_sequences
+
+    d = T(spark, sf, "documents")
+    rules = sorted(
+        textstats.bpe_merges(d, "text", k_rounds=10).collect(),
+        key=lambda r: r["round"],
+    )
+    counts = textstats.bpe_token_counts(
+        d, "doc_id", "text", [(r["left"], r["right"]) for r in rules]
+    )
+    return pack_sequences(counts, "id", "n_tokens_bpe", budget=_Q121_BUDGET)
+
+
+def _q121_oracle(sf: str) -> str:
+    """Expectation parquet for q121: learn merges with the shared
+    sequential twin, tokenize each doc word-by-word, exclusive prefix
+    sum in numeric doc_id order → pack_id."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = sf.strip("/").replace("/", "_")
+    out_dir = f"/tmp/crawlspark_q121_oracle_v{_Q121_VERSION}_{key}"
+    out_path = os.path.join(out_dir, "q121.parquet")
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+        rows, _syms = _bpe_learn_py(sf, _Q117_ROUNDS)
+        merges = [(r[1], r[2]) for r in rows]
+
+        word_toks: dict[str, int] = {}
+
+        def n_toks(word: str) -> int:
+            if word not in word_toks:
+                s = " " + " ".join(word) + " "
+                for l, r in merges:
+                    s = s.replace(f" {l} {r} ", f" {l}{r} ")
+                word_toks[word] = len(s.strip().split(" "))
+            return word_toks[word]
+
+        t = pq.read_table(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        docs = sorted(
+            zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        )
+        ids, counts, packs, acc = [], [], [], 0
+        for did, txt in docs:
+            n = sum(n_toks(w) for w in (txt or "").strip().split(" ") if w)
+            ids.append(did)
+            counts.append(n)
+            packs.append(acc // _Q121_BUDGET)
+            acc += n
+        tbl = pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "n_tokens_bpe": pa.array(counts, pa.int64()),
+                "pack_id": pa.array(packs, pa.int64()),
+            }
+        )
+        _write_expectation(out_dir, "q121.parquet", tbl)
+    return f"SELECT * FROM read_parquet('{out_path}')"
+
+
 # --- token-budgeted corpus selection (P38) --------------------------------
 
 def q116_budget_select(spark, sf):
@@ -1275,6 +1354,7 @@ QUERIES = {
     "q118_bpe_tokenize": q118_bpe_tokenize,
     "q119_wds_shards": q119_wds_shards,
     "q120_psl_domains": q120_psl_domains,
+    "q121_bpe_packing": q121_bpe_packing,
     "q42_lang_id": q42_lang_id,
     "q43_fingerprint": q43_fingerprint,
     "q44_media_meta": q44_media_meta,

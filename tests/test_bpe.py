@@ -65,6 +65,25 @@ def test_bpe_apply_matches_sequential(spark):
     assert "newest" not in got and got["n"] == 1
 
 
+def test_bpe_token_counts_per_doc(spark):
+    """P40 per-doc flavor: n_tokens_bpe == the sequential per-word
+    apply summed per document."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"]).repartition(2)
+    merges = [(l, r) for (_, l, r, _, _) in EXPECT]
+    got = {
+        r["id"]: r["n_tokens_bpe"]
+        for r in textstats.bpe_token_counts(df, "doc_id", "text", merges).collect()
+    }
+    want = {
+        i: sum(len(_apply_py(w, merges)) for w in t.split(" "))
+        for i, t in DOCS
+    }
+    assert got == want
+    # d0 "low low low" -> 3 fully-merged tokens; d1 "lower lower" ->
+    # 2 x (low, er) = 4; d2 "newest" -> 6 chars, no merge fires
+    assert got["d0"] == 3 and got["d1"] == 4 and got["d2"] == 6
+
+
 def test_bpe_apply_learned_end_to_end(spark):
     """Learn on the corpus, apply the learned rules: every original
     character occurrence is conserved across tokens."""
