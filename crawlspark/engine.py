@@ -987,6 +987,89 @@ class CrawlEngine:
         out = self.reseed(due)
         return {"revisited": out["reseeded"]}
 
+    def revisit_from_sitemaps(self) -> dict:
+        """C25∘C26 sitemap-driven selective revisit: re-fetch the
+        stored sitemap documents (fresh <lastmod> assertions as-of the
+        current cycle), and re-queue exactly the LISTED urls whose
+        asserted lastmod is newer than their last successful fetch —
+        the metadata-driven alternative to :meth:`revisit`'s blanket
+        min_age sweep (pages not in any sitemap never re-fetch;
+        unchanged listed pages don't either). Production semantics:
+        sitemap lastmod is advisory, so the comparison is
+        date-vs-our-fetch-date; cycles map to dates by the engine's
+        crawl clock (2026-01-{cycle+1}, the convention the fetcher
+        records under).
+
+        Scale shape: the sitemap set is O(hosts) — the re-fetch is one
+        Arrow batch; parsing is JVM regexp over those docs only; the
+        last-fetch lookup is the same one partial-aggregated groupBy
+        over the scheduled log as revisit(); the reseed path is shared
+        (two-phase rank above 64k dues)."""
+        from pyspark.sql import Window
+
+        snap = self.cat.current_snapshot()
+        now = (snap or {}).get("cycle_id", 0)
+        docs = self.cat.read("documents", snap)
+        has_lm = F.exists(
+            "spans",
+            lambda s: (s["kind"] == "text") & s["text"].contains("<lastmod>"),
+        )
+        smaps = docs.filter(has_lm).groupBy("doc_id").agg(
+            F.max("host").alias("host")
+        )
+        batch = (
+            smaps.select(F.col("doc_id").alias("url_norm"), "host")
+            .withColumn("depth", F.lit(0).cast("int"))
+            .withColumn(
+                "batch_pos", F.row_number().over(Window.orderBy("url_norm"))
+            )
+            .withColumn("attempt", F.lit(1).cast("int"))
+        )
+        fetched = fetch_ops.fetch_batch(batch, self.cfg.graph, now)
+        chunks = (
+            fetched.filter(F.col("ok") & F.col("redirect_to").isNull())
+            .select(F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "text")
+            .select(
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col("s.text"),
+                        F.lit(r"<loc>[^<]+</loc><lastmod>[^<]+</lastmod>"),
+                        F.lit(0),
+                    )
+                ).alias("chunk")
+            )
+        )
+        pairs = (
+            chunks.select(
+                canonicalize_udf(
+                    F.regexp_extract("chunk", r"<loc>([^<]+)", 1)
+                ).alias("url_norm"),
+                (
+                    F.dayofmonth(
+                        F.to_date(F.regexp_extract("chunk", r"<lastmod>([^<]+)", 1))
+                    )
+                    - 1
+                ).cast("long").alias("lm_cycle"),
+            )
+            .filter(F.col("url_norm").isNotNull())
+            .groupBy("url_norm")
+            .agg(F.max("lm_cycle").alias("lm_cycle"))
+        )
+        last_ok = (
+            self.cat.read("scheduled", snap)
+            .filter(F.col("ok"))
+            .groupBy("url_norm")
+            .agg(F.max("cycle_id").alias("last_ok"))
+        )
+        due = (
+            pairs.join(last_ok, "url_norm")
+            .filter(F.col("lm_cycle") > F.col("last_ok"))
+            .select(F.col("url_norm").alias("url"))
+        )
+        out = self.reseed(due)
+        return {"revisited": out["reseeded"]}
+
     def update_politeness(self, host_config_df: DataFrame) -> dict:
         """Mid-crawl robots / crawl-delay / priority refresh — the
         periodic robots re-fetch a long crawl must do — as one atomic

@@ -59,7 +59,9 @@ def fetch_batch(batch: DataFrame, cfg: GraphConfig, cycle_id: int) -> DataFrame:
                 oks.append(ok)
                 redirs.append(tgt)
                 spans.append(
-                    cfg.page_spans(i, j, cfg.page_rev(i, j, cycle_id))
+                    cfg.page_spans(
+                        i, j, cfg.page_rev(i, j, cycle_id), cycle=cycle_id
+                    )
                     if ok and tgt is None
                     else []
                 )

@@ -384,6 +384,41 @@ def q78_reseed(spark, sf):
     )
 
 
+def _engine_smlastmod(spark) -> CrawlEngine:
+    """UNIT_SMLASTMOD scenario: sitemaps with <lastmod> + versioned
+    content, 6 discovery cycles, then revisit_from_sitemaps() —
+    re-fetch the stored sitemaps, re-queue exactly the listed urls
+    whose fresh lastmod beats their last successful fetch — and
+    cycles 7-9 fetch the dues."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-smlastmod"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_SMLASTMOD
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_SMLASTMOD, warehouse=wh))
+        eng.run(max_cycles=UNIT_SMLASTMOD.sitemap_revisit_after)
+        eng.revisit_from_sitemaps()
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q122_sitemap_revisit(spark, sf):
+    """C25∘C26 through the driver's harness: sitemap-lastmod-driven
+    selective revisit. The full fetch-attempt order must match the
+    refsim replaying the same script — the due set (listed AND
+    re-published since last fetch, nothing else), the lexicographic
+    reseed seqs, and the post-revisit (score, seq) competition.
+    Oracle: the UNIT_SMLASTMOD refsim's q80 expectation table."""
+    return _engine_smlastmod(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host",
+        "score", "seq", "depth", "attempt", "ok"
+    )
+
+
 def _engine_smapidx(spark) -> CrawlEngine:
     """UNIT_SMAPIDX crawl: sitemaps declared via robots.txt `Sitemap:`
     directives (no operator sitemap seeds) and shaped as nested
@@ -792,6 +827,7 @@ QUERIES = {
     "q77_priority_feedback": q77_priority_feedback,
     "q78_reseed": q78_reseed,
     "q79_sitemap_index": q79_sitemap_index,
+    "q122_sitemap_revisit": q122_sitemap_revisit,
     "q87_cuckoo_seen": q87_cuckoo_seen,
     "q88_forget_recrawl": q88_forget_recrawl,
     "q89_time_travel": q89_time_travel,
@@ -868,4 +904,10 @@ def build_oracle() -> dict[str, str]:
     from ..synth import UNIT_AGING
 
     sql["q115_priority_aging"] = build_crawl_oracles(UNIT_AGING)["q80_crawl_order"]
+    # q122: the full attempt order of the sitemap-lastmod-driven
+    # revisit (its graph's q80 table — the refsim re-fetches the
+    # stored sitemaps and derives the same due set)
+    from ..synth import UNIT_SMLASTMOD
+
+    sql["q122_sitemap_revisit"] = build_crawl_oracles(UNIT_SMLASTMOD)["q80_crawl_order"]
     return sql

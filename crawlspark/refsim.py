@@ -198,7 +198,7 @@ class RefSim:
                     admit(tgt, depth, c, base=u)
                     continue
                 n_docs += 1
-                spans = cfg.page_spans(i, j, cfg.page_rev(i, j, c))
+                spans = cfg.page_spans(i, j, cfg.page_rev(i, j, c), cycle=c)
                 if (
                     cfg.conditional_fetch
                     and u in res.docs
@@ -241,6 +241,63 @@ class RefSim:
                 for u in due:
                     sp = urlsplit(u)
                     host, path = sp.hostname, sp.path or "/"
+                    if host not in rules:
+                        continue
+                    if not robots_allowed(path, rules[host]):
+                        continue
+                    seen[u] = c
+                    seq += 1
+                    queued[u] = (0 + prio[host], seq, 0, host, c)
+            if cfg.sitemap_revisit_after == c:
+                # C25∘C26 sitemap-driven revisit (the engine's
+                # revisit_from_sitemaps()): re-fetch every stored
+                # sitemap doc (attempt 1; a failed fetch contributes
+                # nothing this sweep), read the fresh <lastmod>
+                # assertions, and re-queue exactly the LISTED urls
+                # whose lastmod cycle is newer than their last
+                # successful fetch — forget + lexicographic depth-0
+                # reseed, the same rank as the blanket revisit
+                lastmods: dict[str, int] = {}
+                for u in sorted(res.docs):
+                    _cc, sp = res.docs[u]
+                    if not any(
+                        s["kind"] == "text" and "<lastmod>" in s["text"]
+                        for s in sp
+                    ):
+                        continue
+                    si, sj = cfg.url_to_page(u)
+                    if not cfg.fetch_ok(si, sj, 1):
+                        continue
+                    fresh = cfg.page_spans(
+                        si, sj, cfg.page_rev(si, sj, c), cycle=c
+                    )
+                    for s in fresh:
+                        if s["kind"] != "text":
+                            continue
+                        for loc, lm in re.findall(
+                            r"<loc>([^<]+)</loc><lastmod>([^<]+)</lastmod>",
+                            s["text"],
+                        ):
+                            cu = canonicalize_one(loc)
+                            if cu is None:
+                                continue
+                            lmc = int(lm.split("-")[2]) - 1
+                            lastmods[cu] = max(lastmods.get(cu, -1), lmc)
+                last_ok = {}
+                for (cc, _p, u, _h, _s, _q, _d, _a, ok) in res.order:
+                    if ok:
+                        last_ok[u] = cc
+                due = sorted(
+                    u for u, lmc in lastmods.items()
+                    if u in last_ok and lmc > last_ok[u]
+                )
+                for u in due:
+                    seen.pop(u, None)
+                    attempts.pop(u, None)
+                    queued.pop(u, None)
+                for u in due:
+                    sp2 = urlsplit(u)
+                    host, path = sp2.hostname, sp2.path or "/"
                     if host not in rules:
                         continue
                     if not robots_allowed(path, rules[host]):

@@ -114,6 +114,15 @@ class GraphConfig:
     # sitemap host actually has a file to declare it in.
     sitemap_nested: bool = False
     sitemaps_from_robots: bool = False
+    # C25∘C26: flat sitemaps carry a <lastmod> per <loc> (rendered
+    # as-of the FETCH cycle, so a re-fetched sitemap shows newer
+    # dates as pages re-publish); sitemap_revisit_after scripts the
+    # engine's revisit_from_sitemaps() — re-fetch the stored sitemap
+    # docs, re-queue exactly the listed URLs whose asserted lastmod
+    # is newer than their last successful fetch. Dates encode cycles
+    # as 2026-01-{cycle+1} (scenarios stay < 28 cycles).
+    sitemap_lastmod: bool = False
+    sitemap_revisit_after: int | None = None
     # C6 extension: scripted robots revision — the cache-TTL refresh a
     # long crawl must do. After cycle robots_revoke_after COMMITS,
     # hosts i < robots_revoke_hosts re-publish robots.txt as deny-all
@@ -478,16 +487,32 @@ class GraphConfig:
 
     # -- spans (the interleaved text+media payload) -------------------------
 
+    def rev_period(self, i: int, j: int) -> int:
+        """C25: the re-publish period of page (i,j) — revision_every
+        scaled by a per-page 1-3× hash draw."""
+        return self.revision_every * (1 + h64(self.seed, "revp", i, j) % 3)
+
     def page_rev(self, i: int, j: int, cycle: int) -> int:
         """C25: content revision of page (i,j) as of `cycle` — 0 until
         the first re-publish, then cycle // period. Pure function, so
         the refsim and the Arrow fetcher agree byte-for-byte."""
         if not self.revision_every or j < 0:
             return 0
-        period = self.revision_every * (1 + h64(self.seed, "revp", i, j) % 3)
-        return cycle // period
+        return cycle // self.rev_period(i, j)
 
-    def page_spans(self, i: int, j: int, rev: int = 0) -> list[dict]:
+    def lastmod_date(self, i: int, j: int, cycle: int) -> str:
+        """C25∘C26: the <lastmod> date of page (i,j) as asserted by a
+        sitemap fetched at `cycle` — the cycle its CURRENT revision
+        appeared (rev × period; 0 for never-republished), encoded as
+        2026-01-{cycle+1}. Pure function shared by the Arrow fetcher
+        and the refsim."""
+        rev = self.page_rev(i, j, cycle)
+        lm = rev * self.rev_period(i, j) if rev else 0
+        return f"2026-01-{1 + lm:02d}"
+
+    def page_spans(
+        self, i: int, j: int, rev: int = 0, cycle: int = 0
+    ) -> list[dict]:
         if j == SITEMAP_J:
             # C26: the sitemap document — one text span of <loc>
             # entries; the shared extraction regex captures them like
@@ -499,6 +524,15 @@ class GraphConfig:
                     f"<loc>{self.sitemap_child_url(i, k)}</loc>"
                     for k in range(self.n_sitemap_children(i))
                 ) + " </sitemapindex>"
+            elif self.sitemap_lastmod:
+                # C25∘C26: each loc carries its lastmod as-of the
+                # FETCH cycle — <lastmod> text is never captured by
+                # the shared href/loc extraction regex
+                body = "<urlset> " + " ".join(
+                    f"<loc>{self.page_url(i, jj)}</loc>"
+                    f"<lastmod>{self.lastmod_date(i, jj, cycle)}</lastmod>"
+                    for jj in self.sitemap_pages(i)
+                ) + " </urlset>"
             else:
                 body = "<urlset> " + " ".join(
                     f"<loc>{self.page_url(i, jj)}</loc>"
@@ -639,6 +673,18 @@ UNIT_REV = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # third of each host's pages, orphans included) enter at depth 1
 UNIT_SMAP = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                         max_cycles=6, sitemaps=True)
+# UNIT graph + sitemaps WITH <lastmod> + versioned content + a
+# scripted sitemap-driven revisit (C25∘C26): after cycle 6 the engine
+# re-fetches the stored sitemap docs (fresh lastmods as pages
+# re-published) and re-queues exactly the LISTED urls whose asserted
+# lastmod is newer than their last successful fetch — the selective,
+# metadata-driven alternative to q71's blanket min_age sweep (pages
+# not in any sitemap never re-fetch; unchanged listed pages don't
+# either). Cycles 7-9 fetch the dues under normal competition.
+UNIT_SMLASTMOD = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                             max_cycles=9, sitemaps=True,
+                             sitemap_lastmod=True, revision_every=2,
+                             sitemap_revisit_after=6)
 # UNIT graph + the C26 extensions: robots.txt on every host, sitemap
 # hosts declare their sitemap via a file-global `Sitemap:` directive
 # (NOT the operator seed list), and /sitemap.xml is a <sitemapindex>

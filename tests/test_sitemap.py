@@ -95,3 +95,45 @@ def test_engine_matches_refsim_nested_sitemaps(spark):
         r["url_norm"]: r["first_cycle"] for r in eng.seen_set().collect()
     }
     assert got_seen == ref.seen
+
+
+def test_refsim_lastmod_revisit_is_selective():
+    """C25∘C26: the sitemap-lastmod revisit re-fetches ONLY pages that
+    are (a) listed in a sitemap AND (b) re-published since their last
+    successful fetch — never unlisted or unchanged pages."""
+    from collections import Counter
+
+    from crawlspark.synth import UNIT_SMLASTMOD as g
+
+    res = RefSim(g).run()
+    cnt = Counter(u for (_c, _p, u, _h, _s, _q, _d, _a, ok) in res.order if ok)
+    refetched = {u for u, n in cnt.items() if n > 1}
+    assert refetched, "scenario produced no sitemap-driven re-fetches"
+
+    listed = set()
+    for i in range(g.n_sites):
+        if g.has_sitemap(i):
+            listed |= {g.page_url(i, jj) for jj in g.sitemap_pages(i)}
+    assert refetched <= listed, "re-fetched an unlisted page"
+
+    # every re-fetched page was genuinely re-published between its
+    # first ok fetch and the sweep cycle (lastmod > fetch cycle)
+    first_ok = {}
+    for (c, _p, u, _h, _s, _q, _d, _a, ok) in res.order:
+        if ok and u not in first_ok:
+            first_ok[u] = c
+    sweep = g.sitemap_revisit_after
+    for u in refetched:
+        i, j = g.url_to_page(u)
+        lm = int(g.lastmod_date(i, j, sweep).split("-")[2]) - 1
+        assert lm > first_ok[u], (u, lm, first_ok[u])
+
+    # and the sweep skipped at least one LISTED page that was fetched
+    # but not re-published — selectivity, not a blanket sweep
+    skipped = {
+        u for u in (listed & set(first_ok)) - refetched
+        if int(
+            g.lastmod_date(*g.url_to_page(u), sweep).split("-")[2]
+        ) - 1 <= first_ok[u]
+    }
+    assert skipped
