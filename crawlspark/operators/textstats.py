@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..portable import md5hash60, words
+from ..portable import md5hash60, shingles, words
 
 # BPE-ish tokenizer: runs of letters, runs of digits, or single
 # non-space symbols — the classic pre-tokenization regex shape.
@@ -780,6 +780,65 @@ def bpe_apply(
         freq.select("freq", F.explode(F.split(F.trim(sym), " ")).alias("token"))
         .groupBy("token")
         .agg(F.sum("freq").alias("n_occurrences"))
+    )
+
+
+def classifier_filter(
+    df: DataFrame, id_col: str, text_col: str, dims: int = 256
+) -> DataFrame:
+    """P10 model-based flavor: quality filtering by a hashed-feature
+    linear classifier — the FastText-shaped inference dataflow the
+    model-filtered corpora (DCLM, FineWeb-Edu) run at 100 TB: hash
+    each token (unigrams + bigrams) into a ``dims``-bucket feature
+    space, mean-pool the bucket weights, keep docs with positive
+    logit. The WEIGHTS here are a deterministic hash-derived stand-in
+    (no trained artifact ships in this repo — same discipline as the
+    multimodal stub); the dataflow — per-token hashing, weight lookup
+    via a literal/broadcast vector, exact pooled aggregation — is the
+    real thing, and swapping real weights touches one array literal.
+
+    Exactness: weights are INTEGERS in [-1000, 1000] and the pooled
+    sum is a long, so the per-doc logit is an exactly-computed
+    rational — no float accumulation order anywhere, hence bit-equal
+    across engines and partitionings (the float division + round
+    happens once per doc). Zero shuffles: explode → weight lookup is
+    narrow; the per-doc sum is a partial-aggregated groupBy(id).
+
+    Output: (id, n_feats, logit, keep) — logit = round(sum_w /
+    (1000 · n_feats), 6), keep = sum_w > 0.
+    """
+    import hashlib
+
+    # w[b] = (md5-60("w#b") % 2001) - 1000 ∈ [-1000, 1000]
+    weights = [
+        int(hashlib.md5(f"w#{b}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+        for b in range(dims)
+    ]
+    w_arr = F.array(*[F.lit(w) for w in weights])
+    toks = df.select(
+        F.col(id_col).alias("id"), words(text_col).alias("w")
+    ).select(
+        "id",
+        F.explode(
+            F.concat(F.col("w"), shingles(F.col("w"), 2))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    feat = toks.withColumn(
+        "wv",
+        F.element_at(w_arr, (F.pmod(md5hash60("tok"), F.lit(dims)) + 1).cast("int")),
+    )
+    return (
+        feat.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("wv").cast("long").alias("_sw"),
+        )
+        .select(
+            "id",
+            "n_feats",
+            F.round(F.col("_sw") / (F.lit(1000.0) * F.col("n_feats")), 6).alias("logit"),
+            (F.col("_sw") > 0).alias("keep"),
+        )
     )
 
 

@@ -1224,6 +1224,57 @@ def q118_bpe_tokenize(spark, sf):
     return textstats.bpe_apply(d, "text", [(r["left"], r["right"]) for r in rules])
 
 
+# --- model-based quality filtering (P10 extension) -------------------------
+
+_Q123_DIMS = 256
+
+
+def q123_classifier_filter(spark, sf):
+    """P10 model-based flavor: hashed-feature linear-classifier
+    inference (the FastText/DCLM filtering dataflow) — unigram+bigram
+    tokens hash into 256 buckets, integer bucket weights mean-pool per
+    doc, keep = positive logit. Integer-exact internals (one float
+    division per doc), so the SQL twin replays it bit-for-bit."""
+    return textstats.classifier_filter(
+        T(spark, sf, "documents"), "doc_id", "text", dims=_Q123_DIMS
+    ).select(F.col("id").alias("doc_id"), "n_feats", "logit", "keep")
+
+
+def _q123_sql() -> str:
+    import hashlib
+
+    weights = [
+        int(hashlib.md5(f"w#{b}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+        for b in range(_Q123_DIMS)
+    ]
+    wlist = "[" + ", ".join(str(w) for w in weights) + "]"
+    return f"""
+WITH d AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS w
+           FROM documents),
+toks AS (
+  SELECT id, tok FROM (
+    SELECT id, unnest(w) AS tok FROM d
+    UNION ALL
+    SELECT id, (w[i] || '_' || w[i+1]) AS tok
+    FROM d, UNNEST(generate_series(1, len(w) - 1)) AS u(i))
+  WHERE tok != ''),
+feat AS (
+  SELECT id, ({wlist})[CAST(({_H("tok")} % {_Q123_DIMS}) + 1 AS INTEGER)] AS wv
+  FROM toks),
+agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(wv) AS BIGINT) AS sw
+  FROM feat GROUP BY id)
+SELECT id AS doc_id, n_feats,
+       round(sw / (1000.0 * n_feats), 6) AS logit,
+       (sw > 0) AS keep
+FROM agg
+"""
+
+
+SQL123 = _q123_sql()
+
+
 # --- tokenizer-aware sequence packing (P40 ∘ P24) --------------------------
 
 _Q121_VERSION = 1
@@ -1355,6 +1406,7 @@ QUERIES = {
     "q119_wds_shards": q119_wds_shards,
     "q120_psl_domains": q120_psl_domains,
     "q121_bpe_packing": q121_bpe_packing,
+    "q123_classifier_filter": q123_classifier_filter,
     "q42_lang_id": q42_lang_id,
     "q43_fingerprint": q43_fingerprint,
     "q44_media_meta": q44_media_meta,
@@ -1377,6 +1429,7 @@ QUERIES = {
 
 ORACLE = {
     "q58_seq_packing": SQL58,
+    "q123_classifier_filter": SQL123,
     "q46_repetition": SQL46,
     "q47_contamination": SQL47,
     "q48_lm_quality": SQL48,

@@ -92,3 +92,41 @@ def test_profile_plan_single_pass(spark):
     assert p.count("Scan parquet") == 2          # one distinct scan
     assert p.count("Exchange") <= 4              # partial → final, once
     assert "CartesianProduct" not in p
+
+
+def test_classifier_filter_exact_and_invariant(spark):
+    """P10 model-based flavor: integer-exact pooled logit — identical
+    across partitionings — and keep ⟺ positive weight sum."""
+    import hashlib
+
+    from crawlspark.operators.textstats import classifier_filter
+
+    docs = [(i, f"alpha beta doc {i} " + "pad " * (i % 5)) for i in range(40)]
+
+    def run(parts):
+        df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(parts)
+        return sorted(
+            (r["id"], r["n_feats"], r["logit"], r["keep"])
+            for r in classifier_filter(df, "doc_id", "text", dims=64).collect()
+        )
+
+    a, b = run(1), run(7)
+    assert a == b
+    # sequential twin for one row
+    dims = 64
+    w = [
+        int(hashlib.md5(f"w#{k}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+        for k in range(dims)
+    ]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = []
+    ws = docs[3][1].strip().split(" ")
+    toks += [t for t in ws if t]
+    toks += [f"{ws[i]}_{ws[i+1]}" for i in range(len(ws) - 1)]
+    sw = sum(w[h60(t) % dims] for t in toks)
+    row = dict((r[0], r) for r in a)[3]
+    assert row[1] == len(toks) and row[3] == (sw > 0)
+    assert abs(row[2] - round(sw / (1000.0 * len(toks)), 6)) < 1e-12
