@@ -413,3 +413,36 @@ def test_domain_quality_broadcast_prior_partial_agg(spark):
     # (per-source, global) — plus AQE bookkeeping at most
     shuffles = [l for l in p.splitlines() if re.match(r"^\(\d+\) Exchange", l)]
     assert len(shuffles) <= 2, shuffles
+
+
+def test_classifier_filter_plan_is_narrow_jvm(spark):
+    """P10 classifier inference (q123): zero Python stages, exactly one
+    shuffle (the partial-aggregated groupBy(id)), weight lookup inlined
+    as a literal — the plan that scales to a 100 TB corpus scan."""
+    from crawlspark.operators.textstats import classifier_filter
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(classifier_filter(df, "doc_id", "text", dims=64))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # formatted plans list each node twice (tree + detail): one
+    # physical Exchange == 2 occurrences
+    assert p.count("Exchange") <= 2
+    assert "HashAggregate" in p
+
+
+def test_bpe_apply_plan_is_vocab_sided(spark):
+    """P40 apply (q118): the merge replaces must sit on the vocab side
+    (after the word-frequency aggregate), never per corpus row — the
+    plan shows the replace chain above a HashAggregate, no Python."""
+    from crawlspark.operators.textstats import bpe_apply
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(bpe_apply(df, "text", [("a", "b"), ("ab", "c")]))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "replace" in p and "HashAggregate" in p
+    # corpus scan feeds ONE aggregate before the replace chain: the
+    # replace expression must appear above the word-freq aggregation,
+    # i.e. the project containing it reads the aggregated 'word'
+    # column, not the raw text scan output
+    seg = p.split("replace")[0]
+    assert seg.count("HashAggregate") >= 1
