@@ -74,6 +74,8 @@ def canonicalize_one(url: str | None) -> str | None:
         if not host:
             return None
         host = host.lower().rstrip(".")
+        if not host:  # all-dot host ('.', '..') strips to nothing
+            return None
         if ":" in host:  # IPv6 literal — urlsplit strips the brackets
             host = f"[{host}]"
         port = s.port  # may raise ValueError on junk ports
@@ -208,7 +210,12 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
         scheme, pc.if_else(pc.is_valid(scheme), pa.scalar("://"), pa.scalar(None, pa.string())),
         host, port_norm, path, "",
     )
-    fast = pc.and_kleene(pc.is_valid(scheme), _port_ok(port))
+    # all-dot hosts rtrim to "" — route them off the fast path so the
+    # reference's empty-host rejection (None) applies
+    fast = pc.and_kleene(
+        pc.and_kleene(pc.is_valid(scheme), _port_ok(port)),
+        pc.not_equal(host, ""),
+    )
 
     out = joined.to_pandas()
     out.index = urls.index
@@ -238,7 +245,11 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
             pc.if_else(pc.is_valid(scheme2), pa.scalar("://"), pa.scalar(None, pa.string())),
             host2, port2, path2, "",
         )
-        mid = pc.and_kleene(pc.is_valid(scheme2), _port_ok(port2))
+        # same all-dot-host rejection as the fast mask
+        mid = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(scheme2), _port_ok(port2)),
+            pc.not_equal(host2, ""),
+        )
         mid_pd = mid.to_pandas().fillna(False).astype(bool)
         mid_pd.index = urls.index
         if mid_pd.any():

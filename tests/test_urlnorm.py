@@ -91,6 +91,18 @@ def test_fast_path_equals_reference_fuzz(u):
     assert (got is None and want is None) or got == want
 
 
+def test_all_dot_hosts_rejected():
+    """Hypothesis-found divergence (http://.//): an all-dot host
+    strips to nothing — both paths must reject it, not emit a
+    hostless URL."""
+    for u in ["http://.//", "http://./", "http://.", "http://..",
+              "http://...//x", "http://./p?a=1"]:
+        assert canonicalize_one(u) is None, u
+        assert canonicalize_series(pd.Series([u])).iloc[0] is None, u
+    # trailing-dot hosts still normalize (the rstrip's purpose)
+    assert canonicalize_one("http://a.example.com./p") == "http://a.example.com/p"
+
+
 @settings(max_examples=400, deadline=None)
 @given(st.text(alphabet="./abA%", min_size=0, max_size=24))
 @example("a/././..")           # r2 counterexample: single-pass '/./'
