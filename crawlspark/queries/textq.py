@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .. import schemas
 from ..operators import textstats
 from ..portable import md5hash60, md5hash60_sql
 from .relational import T
@@ -224,6 +225,77 @@ FROM (SELECT doc_id, gram FROM g, UNNEST(g.grams) AS t(gram) WHERE doc_id >= 5)
 JOIN bench USING (gram)
 GROUP BY doc_id
 """
+
+
+def decontam_bloom(spark, sf, nbits: int = 1 << 16, k: int = 7):
+    """P41 — Bloom-prefiltered decontamination, the 10^8-eval-gram
+    scale path of q47. q47 broadcasts the eval suite's distinct grams
+    as a hash-join relation (~50 B/gram with strings + join-table
+    overhead); here they fold into a Bloom bitset (~10 bits/gram at a
+    1% FP target — a 10^8-gram eval union is a ~120 MB broadcast
+    instead of ~5 GB), the corpus gram stream probes the bitset as a
+    NARROW Arrow-vectorized filter (no shuffle, no join), and only the
+    bloom-positive survivors take the broadcast semi-join that kills
+    false positives — so the result is EXACT (identical to q47, same
+    oracle) while the expensive exact join sees only
+    contaminated + FP-rate·clean grams instead of every corpus gram.
+
+    Reuses the crawl's C5 machinery end-to-end: the bitset is built by
+    seen.fold_bloom (partial-agg JVM UDAF when the native jar is
+    loaded, cogrouped numpy otherwise) and probed by
+    seen.bloom_prefilter_broadcast — the same double-hashing scheme
+    that is bit-parity-tested against native/src/BloomProbe.scala.
+    The probe deliberately takes the Python broadcast path, never
+    BloomProbe.register: the JVM probe keeps ONE live bitset broadcast
+    per session and re-registration destroys the previous one, which
+    would yank the seen-filter's bitset out from under a live engine
+    (see BloomProbe.scala `last`).
+
+    No false negatives (Bloom guarantee) ⇒ no contaminated doc can
+    escape; false positives are provably removed by the verify join ⇒
+    bit-identical rows to q47 at ANY (nbits, k) — the test forces
+    nbits=64 to prove exactness under a saturated filter."""
+    from ..operators import seen
+    from ..operators.dedup import _materialize
+    from ..operators.textstats import _word_grams
+    from ..portable import words
+
+    d = _materialize(
+        T(spark, sf, "documents").select(
+            "doc_id", words("text").alias("_w")
+        ).select("doc_id", _word_grams(F.col("_w"), 4).alias("_g"))
+    )
+    bench = _materialize(
+        d.filter(F.col("doc_id") < 5)
+        .select(F.explode("_g").alias("gram"))
+        .distinct()
+    )
+    bloom = seen.fold_bloom(
+        bench.select(
+            F.lit(0).alias("part"), F.xxhash64("gram").alias("url_hash")
+        ),
+        spark.createDataFrame([], schemas.BLOOM_SEEN),
+        cycle_id=0, nbits=nbits, k=k,
+    )
+    corpus = d.filter(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode("_g").alias("gram")
+    )
+    probed = seen.bloom_prefilter_broadcast(
+        corpus.withColumn("part", F.lit(0)).withColumn(
+            "url_hash", F.xxhash64("gram")
+        ),
+        bloom,
+    )
+    return (
+        probed.filter("maybe_seen")
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
+
+
+def q124_decontam_bloom(spark, sf):
+    return decontam_bloom(spark, sf)
 
 
 # --- statistical LM quality scoring (CCNet-style) ------------------------
@@ -1412,6 +1484,7 @@ QUERIES = {
     "q44_media_meta": q44_media_meta,
     "q46_repetition": q46_repetition,
     "q47_contamination": q47_contamination,
+    "q124_decontam_bloom": q124_decontam_bloom,
     "q48_lm_quality": q48_lm_quality,
     "q49_bm25": q49_bm25,
     "q58_seq_packing": q58_seq_packing,
@@ -1432,6 +1505,7 @@ ORACLE = {
     "q123_classifier_filter": SQL123,
     "q46_repetition": SQL46,
     "q47_contamination": SQL47,
+    "q124_decontam_bloom": SQL47,
     "q48_lm_quality": SQL48,
     "q49_bm25": SQL49,
     "q40_token_stats": SQL40,
