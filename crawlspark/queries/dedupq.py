@@ -289,6 +289,100 @@ LEFT JOIN keepers k ON k.component = c.component
 """
 
 
+def q125_effective_tokens(spark, sf):
+    """P42 — dedup-discounted effective corpus size (P17 ∘ P11): the
+    number a training-mix planner actually budgets against. Raw token
+    counts overstate a corpus with near-duplicates (the duplicated
+    tokens add no information); the effective size keeps one document
+    per near-dup cluster (q56's keeper rule: min doc_id per connected
+    component of the MinHash+LSH pair graph) and counts only keeper
+    tokens, reported per source with the duplicated-token fraction.
+
+    Scale shape: the pair graph + clustering is q56's (band join,
+    never all-pairs; min-label propagation with early stop); token
+    counting is a narrow JVM regexp; the rollup is one partial-agg
+    groupBy on source. All sums are LONG (exact, order-insensitive);
+    the only float op is one divide per source row, bit-exact across
+    engines and partitionings."""
+    from ..operators import graph, textstats
+
+    docs = T(spark, sf, "documents")
+    pairs = dedup.minhash_near_dups(docs, "doc_id", "text", k=2,
+                                    n_hashes=8, bands=4, threshold=0.5)
+    keep = graph.dedup_keepers(
+        pairs.select("i", "j"), docs.select(F.col("doc_id").alias("id"))
+    )
+    t = docs.select(
+        "doc_id", "source",
+        textstats.token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    return (
+        t.join(keep, t["doc_id"] == keep["id"]).drop("id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("long").alias("raw_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+            .cast("long").alias("effective_tokens"),
+        )
+        .withColumn(
+            "dup_token_frac",
+            F.round(
+                F.lit(1.0) - F.col("effective_tokens") / F.col("raw_tokens"), 6
+            ),
+        )
+    )
+
+
+SQL125 = f"""
+WITH RECURSIVE {SH_CTE}, {SIG_CTE},
+bands AS (
+  SELECT id, j // 2 AS band,
+         string_agg(CAST(minh AS VARCHAR), '#' ORDER BY j) AS bs
+  FROM sig GROUP BY 1, 2),
+bh AS (SELECT id, band, {_H("bs")} AS band_hash FROM bands),
+cand AS (
+  SELECT DISTINCT a.id AS i, b2.id AS j
+  FROM bh a JOIN bh b2
+    ON a.band = b2.band AND a.band_hash = b2.band_hash AND a.id < b2.id),
+inter AS (
+  SELECT c.i, c.j, count(*) AS n_inter
+  FROM cand c JOIN sh a ON a.id = c.i
+              JOIN sh b ON b.id = c.j AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT i, j FROM inter JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+  WHERE n_inter / (si.n + sj.n - n_inter) >= 0.5),
+e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+keepers AS (SELECT component, min(id) AS keeper FROM comp GROUP BY component),
+kp AS (
+  SELECT d.doc_id, d.source,
+         len(regexp_extract_all(d.text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+         (k.keeper IS NULL OR k.keeper = d.doc_id) AS keep
+  FROM documents d
+  LEFT JOIN comp c ON c.id = d.doc_id
+  LEFT JOIN keepers k ON k.component = c.component)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS effective_tokens,
+       round(1.0 - CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END)
+                        AS DOUBLE)
+                 / CAST(sum(n_tokens) AS DOUBLE), 6) AS dup_token_frac
+FROM kp GROUP BY source
+"""
+
+
 # --- paragraph/chunk-level dedup (P25) ------------------------------------
 
 def q59_chunk_dedup(spark, sf):
@@ -441,6 +535,7 @@ QUERIES = {
     "q70_incremental_dedup": q70_incremental_dedup,
     "q106_leakage_safe_split": q106_leakage_safe_split,
     "q113_span_dedup": q113_span_dedup,
+    "q125_effective_tokens": q125_effective_tokens,
 }
 
 ORACLE = {
@@ -455,4 +550,5 @@ ORACLE = {
     "q70_incremental_dedup": SQL70,
     "q106_leakage_safe_split": SQL106,
     "q113_span_dedup": SQL113,
+    "q125_effective_tokens": SQL125,
 }
