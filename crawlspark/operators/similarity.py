@@ -250,7 +250,13 @@ def ivf_centroids(
     for _ in range(refine_rounds):
         assigned = ivf_assign(base, cents, n_probe=1, id_col="id", vec_col="v")
         cents = _cell_means(assigned, sample_per_cell, dim)
-    return cents
+    # materialize the trained quantizer (n_cells rows): every caller
+    # consumes it at least twice (corpus assign + query assign), and an
+    # unmaterialized return re-runs the whole training subtree — which
+    # READS THE CORPUS — once per consumer. At sf0.1 this is wall-noise
+    # (q64 2.7 s -> 2.5 s: the local cost is per-stage fixed overhead,
+    # not recompute), but at corpus scale it halves the indexing scans.
+    return cents.localCheckpoint(eager=False)
 
 
 def ivf_assign(
