@@ -75,6 +75,66 @@ def pagerank(
     return out
 
 
+def weighted_pagerank(
+    edges: DataFrame,  # (src, dst, weight) — one row per edge
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """(id, rank): PageRank over WEIGHTED edges — each round a node
+    splits its damped rank across outlinks proportionally to edge
+    weight (anchor-term mass, link prominence, …) instead of
+    uniformly; dangling = zero-out-weight nodes, redistributed
+    uniformly, folded in as a broadcast 1-row aggregate like the
+    unweighted twin above. Per-edge float shape is
+    (rank * weight) / wdeg — the oracle twin
+    (queries/crawl_oracle._weighted_pagerank) evaluates the identical
+    expression. Same scale posture as pagerank: per-iteration
+    localCheckpoint truncation, no per-iteration driver collect."""
+    edges = edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("weight")
+    ).persist()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("wdeg")).persist()
+    out_w.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(out_w, "src")
+            .select(
+                F.col("dst").alias("id"),
+                ((F.col("rank") * F.col("weight")) / F.col("wdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = ranks.join(
+            out_w, ranks["id"] == out_w["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.col("_dangling") / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = ranks.select("id", F.round("rank", 6).alias("rank"))
+    for df in (nodes, out_w, edges):
+        df.unpersist()
+    return out
+
+
 def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """(id, component): min-label propagation over undirected edges —
     e.g. cluster near-dup pairs so exact-dedup can pick one keeper per

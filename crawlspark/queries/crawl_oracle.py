@@ -34,11 +34,11 @@ from decimal import ROUND_HALF_UP, Decimal
 
 from ..purehash import xxhash64_str
 from ..refsim import RefSim, RefSimResult
-from ..synth import UNIT, GraphConfig
+from ..synth import UNIT, GraphConfig, extract_anchors_from_text
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 13
+_VERSION = 14
 
 
 def _md5_60(s: str) -> int:
@@ -104,6 +104,34 @@ def _pagerank(edges: list[tuple[str, str]], damping: float, iterations: int):
         for s, d in es:
             inflow[d] = inflow.get(d, 0.0) + ranks[s] / deg[s]
         dangling = sum(r for u, r in ranks.items() if u not in deg)
+        ranks = {
+            u: (1.0 - damping)
+            + damping * dangling / n
+            + damping * inflow.get(u, 0.0)
+            for u in nodes
+        }
+    return [(u, _round6_half_up(r)) for u, r in ranks.items()]
+
+
+def _weighted_pagerank(
+    wedges: dict[tuple[str, str], int], damping: float, iterations: int
+):
+    """Weighted twin of _pagerank: per-edge contribution is
+    (rank * w) / wdeg — the exact float expression
+    operators/graph.weighted_pagerank evaluates, so the two agree to
+    the last ulp before the round-6 output."""
+    es = sorted(wedges.items())
+    nodes = sorted({s for (s, _d), _ in es} | {d for (_s, d), _ in es})
+    n = len(nodes)
+    wdeg: dict[str, float] = {}
+    for (s, _d), w in es:
+        wdeg[s] = wdeg.get(s, 0.0) + float(w)
+    ranks = {u: 1.0 for u in nodes}
+    for _ in range(iterations):
+        inflow: dict[str, float] = {}
+        for (s, d), w in es:
+            inflow[d] = inflow.get(d, 0.0) + (ranks[s] * float(w)) / wdeg[s]
+        dangling = sum(r for u, r in ranks.items() if u not in wdeg)
         ranks = {
             u: (1.0 - damping)
             + damping * dangling / n
@@ -239,6 +267,40 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
         (ref, len(v), len({d for d, _o in v}), min(v)[0], min(v)[1])
         for ref, v in sorted(by_ref.items())
     ]
+    # q126/q127: anchor-text profile + anchor-weighted authority over
+    # anchored page text (GraphConfig.anchors). Pairs re-extracted
+    # from the fetched docs with the SHARED regex, targets resolved
+    # with the same urljoin+canonicalize the discovery path uses —
+    # an independent walk of the same public definitions.
+    from urllib.parse import urljoin
+
+    from ..urlnorm import canonicalize_one
+
+    anchor_pairs: list[tuple[str, str, str]] = []
+    for u, (_c, spans) in res.docs.items():
+        for s in spans:
+            if s["kind"] == "text":
+                for raw, anchor in extract_anchors_from_text(s["text"]):
+                    anchor_pairs.append(
+                        (u, canonicalize_one(urljoin(u, raw)), anchor)
+                    )
+    by_dst: dict[str, list[str]] = {}
+    for _s, d, a in anchor_pairs:
+        by_dst.setdefault(d, []).append(a)
+    q126 = []
+    for d, anchors in sorted(by_dst.items()):
+        counts: dict[str, int] = {}
+        for a in anchors:
+            for t in a.split(" "):
+                counts[t] = counts.get(t, 0) + 1
+        # dominant term: max count, lexicographic-min tie-break —
+        # matches Spark's min(struct(-n, term))
+        top = min((-cnt, t) for t, cnt in counts.items())[1]
+        q126.append((d, len(anchors), len(counts), top))
+    wedges: dict[tuple[str, str], int] = {}
+    for s_, d, a in anchor_pairs:
+        wedges[(s_, d)] = wedges.get((s_, d), 0) + len(a.split(" "))
+    q127 = _weighted_pagerank(wedges, damping=0.85, iterations=6)
     return {
         "q80_crawl_order": (
             ["cycle_id", "batch_pos", "url_norm", "url_hash", "host",
@@ -328,6 +390,16 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
             " keeper_doc string, keeper_offset int32",
             q102,
         ),
+        "q126_anchor_text": (
+            ["dst", "n_inlinks", "n_terms", "top_term"],
+            "dst string, n_inlinks int64, n_terms int64, top_term string",
+            q126,
+        ),
+        "q127_anchor_authority": (
+            ["id", "rank"],
+            "id string, rank double",
+            q127,
+        ),
     }
 
 
@@ -342,6 +414,7 @@ _NAMES = [
     "q86_frame_sample", "q93_crawl_stream_rates", "q67_trap_guard",
     "q68_redirects", "q71_revisit_versions", "q72_change_rates",
     "q76_backoff", "q77_priority_feedback", "q102_media_dedup",
+    "q126_anchor_text", "q127_anchor_authority",
 ]
 
 

@@ -810,6 +810,101 @@ def q115_priority_aging(spark, sf):
     )
 
 
+def _engine_anchor(spark) -> CrawlEngine:
+    """UNIT_ANCHOR crawl: anchor-text rendering on every outlink —
+    same ordering/seen set as UNIT (extraction ignores the anchor
+    suffix), but page text carries href="U">anc…</a> pairs."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-anchor"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_ANCHOR
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_ANCHOR, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def _anchor_pairs(spark):
+    """(src, dst, anchor): anchored outlinks of every fetched doc,
+    target resolved+canonicalized exactly like discovery (C12b — the
+    same Arrow resolve_canonicalize_udf the engine admits links
+    through). Extraction is two JVM regexp_extract_all passes over
+    synth.ANCHOR_PATTERN (group 1 urls, group 2 anchors) zipped by
+    position — both passes walk the same matches, so the zip is
+    position-stable; no Python in the extraction."""
+    from ..synth import ANCHOR_PATTERN
+    from ..urlnorm import resolve_canonicalize_udf
+
+    docs = _engine_anchor(spark).documents()
+    spans = docs.select("doc_id", F.explode("spans").alias("span")).filter(
+        F.col("span.kind") == "text"
+    )
+    pairs = spans.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    F.col("span.text"), F.lit(ANCHOR_PATTERN), F.lit(1)
+                ).alias("raw"),
+                F.regexp_extract_all(
+                    F.col("span.text"), F.lit(ANCHOR_PATTERN), F.lit(2)
+                ).alias("anchor"),
+            )
+        ).alias("p"),
+    ).select("src", F.col("p.raw").alias("raw"), F.col("p.anchor").alias("anchor"))
+    return pairs.withColumn("dst", resolve_canonicalize_udf("src", "raw"))
+
+
+def q126_anchor_text(spark, sf):
+    """P43: the anchor-text profile — for every link TARGET, in-link
+    count, distinct anchor-term count, and the dominant term (max
+    count, lexicographic-min tie-break via min(struct(-n, term)) —
+    partial-aggregation-order-safe). The off-page description of a URL
+    that search/crawl stacks aggregate anchors for; at web scale this
+    is two partial-agg groupBys over the (dst, term) stream, never a
+    per-target collect. Oracle: the UNIT_ANCHOR refsim fetch log
+    pushed through the shared extract_anchors_from_text + urljoin
+    (crawl_oracle.py)."""
+    pairs = _anchor_pairs(spark)
+    per_term = (
+        pairs.select("dst", F.explode(F.split("anchor", " ")).alias("term"))
+        .groupBy("dst", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    top = per_term.groupBy("dst").agg(
+        F.count("*").alias("n_terms"),
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("term").alias("t"))).alias("m"),
+    )
+    inl = pairs.groupBy("dst").agg(F.count("*").alias("n_inlinks"))
+    return inl.join(top, "dst").select(
+        "dst", "n_inlinks", "n_terms", F.col("m.t").alias("top_term")
+    )
+
+
+def q127_anchor_authority(spark, sf):
+    """P44: anchor-weighted authority — PageRank where an outlink's
+    share of its page's rank is proportional to its anchor-term mass
+    (links someone described with more words carry more endorsement),
+    6 damped iterations like q85. Edge weight = Σ anchor term counts
+    over all (src→dst) link instances, pre-aggregated so the iteration
+    joins one row per edge. Oracle: pure-python weighted power
+    iteration over the refsim fetch log with the identical per-edge
+    float shape (crawl_oracle._weighted_pagerank)."""
+    from ..operators import graph
+
+    pairs = _anchor_pairs(spark)
+    edges_w = (
+        pairs.select("src", "dst", F.size(F.split("anchor", " ")).alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("weight"))
+    )
+    return graph.weighted_pagerank(edges_w, damping=0.85, iterations=6)
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -839,6 +934,8 @@ QUERIES = {
     "q110_conditional_fetch": q110_conditional_fetch,
     "q114_domain_politeness": q114_domain_politeness,
     "q115_priority_aging": q115_priority_aging,
+    "q126_anchor_text": q126_anchor_text,
+    "q127_anchor_authority": q127_anchor_authority,
 }
 
 ORACLE: dict[str, str] = {}
@@ -910,4 +1007,12 @@ def build_oracle() -> dict[str, str]:
     from ..synth import UNIT_SMLASTMOD
 
     sql["q122_sitemap_revisit"] = build_crawl_oracles(UNIT_SMLASTMOD)["q80_crawl_order"]
+    # q126/q127: anchor-text profile + anchor-weighted authority over
+    # the anchored graph (the refsim re-extracts pairs with the shared
+    # regex and runs the weighted power-iteration twin)
+    from ..synth import UNIT_ANCHOR
+
+    anchor_sql = build_crawl_oracles(UNIT_ANCHOR)
+    sql["q126_anchor_text"] = anchor_sql["q126_anchor_text"]
+    sql["q127_anchor_authority"] = anchor_sql["q127_anchor_authority"]
     return sql

@@ -157,6 +157,14 @@ class GraphConfig:
     # Off by default: every fetch stores, as before.
     conditional_fetch: bool = False
     robots_all: bool = False
+    # C13 extension (anchor text): when on, every regular-page outlink
+    # renders as `href="URL">anc… terms</a>` — 1-3 deterministic anchor
+    # terms per link. Link EXTRACTION is unchanged (the shared href
+    # regex stops at the closing quote), so crawl ordering and the
+    # seen set are bit-identical to the unanchored twin; only the page
+    # text differs. Substrate for the anchor-text profile (P43, q126)
+    # and anchor-weighted authority (P44, q127).
+    anchors: bool = False
     # reseed knobs (C21): after cycle `reseed_after`, the
     # `reseed_k` lexicographically-first SEEN urls are actively
     # re-queued — the engine's reseed() (forget + depth-0 re-inject
@@ -510,6 +518,16 @@ class GraphConfig:
         lm = rev * self.rev_period(i, j) if rev else 0
         return f"2026-01-{1 + lm:02d}"
 
+    def anchor_text(self, i: int, j: int, k: int) -> str:
+        """1-3 deterministic anchor terms for outlink k of page (i,j)
+        (GraphConfig.anchors): a small vocabulary (mod 127) so targets
+        accumulate REPEATED terms across in-links — the distribution
+        an anchor-text profile exists to summarize."""
+        n = 1 + h64(self.seed, "anchn", i, j, k) % 3
+        return " ".join(
+            f"anc{h64(self.seed, 'anct', i, j, k, t) % 127}" for t in range(n)
+        )
+
     def page_spans(
         self, i: int, j: int, rev: int = 0, cycle: int = 0
     ) -> list[dict]:
@@ -563,7 +581,13 @@ class GraphConfig:
         links = self.outlinks_messy(i, j)
         if i < self.trap_hosts:
             links = links + [self.cal_url(i, 1)]
-        hrefs = " ".join(f'href="{u}"' for u in links)
+        if self.anchors:
+            hrefs = " ".join(
+                f'href="{u}">{self.anchor_text(i, j, k)}</a>'
+                for k, u in enumerate(links)
+            )
+        else:
+            hrefs = " ".join(f'href="{u}"' for u in links)
         body = f"site {i} page {j} :: {hrefs} :: " + " ".join(
             f"w{h64(self.seed, 'word', i, j, w) % 997}" for w in range(6)
         )
@@ -631,6 +655,22 @@ def extract_links_from_text(text: str) -> list[str]:
     return _HREF.findall(text)
 
 
+# anchored links (GraphConfig.anchors): href="U">terms</a> — group 1
+# is the url (same charset rule as _HREF), group 2 the anchor text.
+# Kept in the Java∩RE2∩Python regex subset so the engine can run the
+# identical pattern through F.regexp_extract_all.
+ANCHOR_PATTERN = r'href="([^"<]+)">([^<]*)</a>'
+_ANCHOR = re.compile(ANCHOR_PATTERN)
+
+
+def extract_anchors_from_text(text: str) -> list[tuple[str, str]]:
+    """Shared (raw_url, anchor_text) extraction: the oracle builder
+    calls this; the engine mirrors it with two regexp_extract_all
+    passes over ANCHOR_PATTERN (group 1 / group 2) zipped by position
+    — position-stable because both passes walk the same matches."""
+    return _ANCHOR.findall(text)
+
+
 def robots_allowed(path: str, rules: list[dict]) -> bool:
     """Robots decision, Google-spec precedence: most-specific (longest
     rule path, `spec`) matching rule wins, Allow wins ties. Plain rules
@@ -668,6 +708,13 @@ UNIT_REDIR = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 UNIT_REV = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                        max_cycles=9, revision_every=3,
                        revisit_after=6, revisit_min_age=3)
+# UNIT graph + anchor-text rendering on every outlink: same crawl
+# ordering/seen set as UNIT (the shared href extraction ignores the
+# anchor suffix — asserted in tests), but page text carries
+# `href="U">anc…</a>` so the anchor-text profile (q126) and
+# anchor-weighted authority (q127) have a real substrate
+UNIT_ANCHOR = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                          max_cycles=6, anchors=True)
 # UNIT graph + sitemaps on every other host: /sitemap.xml seeds fetch
 # through normal politeness/ordering; <loc> children (a hash-picked
 # third of each host's pages, orphans included) enter at depth 1
