@@ -305,11 +305,16 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFra
 def minhash_near_dups(
     df: DataFrame, id_col: str, text_col: str,
     k: int = 2, n_hashes: int = 8, bands: int = 4, threshold: float = 0.5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → band → candidate join → exact
     Jaccard verify. Output is deterministic (same LSH candidates and
-    the exact-verified subset) across engines and partitionings."""
-    sh = _materialize(shingle_table(df, id_col, text_col, k))
+    the exact-verified subset) across engines and partitionings.
+    Pass a precomputed (id, shingle) ``sh`` to reuse one materialized
+    shingle table across consumers (it must equal
+    ``shingle_table(df, id_col, text_col, k)``)."""
+    if sh is None:
+        sh = _materialize(shingle_table(df, id_col, text_col, k))
     sig = minhash_signatures(sh, n_hashes)
     cand = lsh_candidate_pairs(sig, n_hashes, bands)
     return jaccard_verify(cand, sh, threshold)

@@ -183,11 +183,16 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
     return labels
 
 
-def dedup_keepers(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
+def dedup_keepers(
+    pairs: DataFrame, all_ids: DataFrame, comp: DataFrame | None = None
+) -> DataFrame:
     """(id, keep): one keeper (min id) per near-dup cluster; ids with
     no near-dup pair keep themselves. The last stage of the dedup
-    pipeline: minhash_near_dups → connected_components → keepers."""
-    comp = connected_components(pairs)
+    pipeline: minhash_near_dups → connected_components → keepers.
+    Pass a precomputed ``comp`` (id, component) to reuse one clustering
+    across consumers instead of re-iterating per caller."""
+    if comp is None:
+        comp = connected_components(pairs)
     keepers = comp.groupBy("component").agg(F.min("id").alias("keeper"))
     with_comp = all_ids.join(comp, "id", "left")
     return with_comp.join(keepers, "component", "left").select(
