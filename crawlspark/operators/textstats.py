@@ -879,3 +879,54 @@ def bpe_token_counts(
         .groupBy("id")
         .agg(F.sum(F.col("cnt") * F.col("n_toks")).alias("n_tokens_bpe"))
     )
+
+
+def stride_chunks(
+    df: DataFrame, id_col: str, text_col: str,
+    window: int = 64, stride: int = 48,
+) -> DataFrame:
+    """(id, chunk_idx, tok_start, n_chunk_tokens, chunk_sig): split
+    each document's word stream into overlapping context windows —
+    the training-example chunking step between curation and packing
+    (long docs become `window`-token examples overlapping by
+    `window - stride` tokens so no span is seen only at a boundary).
+
+    Chunk m starts at token 1 + m*stride; the LAST chunk is the first
+    whose end reaches the document end (so nothing is emitted that a
+    previous chunk already fully covers):
+    n_chunks = 1 if n <= window else 1 + ceil((n-window)/stride),
+    with the ceil in exact integer math. chunk_sig is md5-60 over the
+    '_'-joined token slice — the per-chunk identity downstream chunk
+    dedup (P25) consumes.
+
+    Scale shape: one narrow pass — bind the words array, derive
+    n_chunks arithmetically, explode a sequence, slice per index. No
+    shuffle, no UDF; cost ∝ output tokens ≈ input tokens × window/stride.
+    """
+    from ..portable import md5hash60
+
+    w = F.split(F.trim(F.col(text_col)), " ")
+    d = df.select(F.col(id_col).alias("id"), w.alias("w")).withColumn(
+        "n", F.size("w")
+    )
+    n_chunks = F.when(F.col("n") <= window, F.lit(1)).otherwise(
+        F.lit(1)
+        + ((F.col("n") - window + stride - 1) / stride).cast("int")
+    )
+    c = d.select(
+        "id", "w", "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn("tok_start", F.col("chunk_idx") * stride + 1)
+    c = c.withColumn(
+        "n_chunk_tokens",
+        F.least(F.lit(window), F.col("n") - F.col("tok_start") + 1),
+    )
+    return c.select(
+        "id",
+        "chunk_idx",
+        "tok_start",
+        "n_chunk_tokens",
+        md5hash60(
+            F.array_join(F.slice("w", F.col("tok_start"), F.col("n_chunk_tokens")), "_")
+        ).alias("chunk_sig"),
+    )

@@ -1469,6 +1469,107 @@ SELECT doc_id, quality, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 8000
 """
 
 
+
+
+# --- quality-ranked per-source caps (P45) ---------------------------------
+
+def q128_source_cap(spark, sf):
+    """P45: domain/source balancing by quality-ranked truncation —
+    cap every source at ceil(0.6 * its doc count), keeping its
+    HIGHEST-quality documents (quality DESC, doc_id ASC tie-break).
+    The hard-cap complement of q69's mixture resampling: q69 hits
+    target mixture WEIGHTS by deterministic hash thinning; this stops
+    any one source from flooding the corpus while preferentially
+    keeping its best documents (the FineWeb/Gopher-style per-dump cap).
+
+    Scale shape: quality is q41's pure column math (zero shuffles);
+    the per-source rank is one window over the source partitioning.
+    Sources are few and large, so at 10^10 docs the window input is
+    prefiltered by an approx-quantile quality threshold per source
+    (percentile_approx keeps ~cap rows per source before the exact
+    rank) — the sandbox-scale plan skips the prefilter, the rule and
+    output are identical either way."""
+    from pyspark.sql import Window
+
+    d = textstats.with_quality(T(spark, sf, "documents"), "text").select(
+        "doc_id", "source", "quality"
+    )
+    n = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("src_rank", F.row_number().over(w))
+        .join(F.broadcast(n), "source")
+        .select(
+            "doc_id", "source", "quality", "src_rank",
+            (F.col("src_rank") <= F.ceil(F.lit(0.6) * F.col("n_src"))).alias("kept"),
+        )
+    )
+
+
+SQL128 = r"""
+WITH q AS (
+  SELECT doc_id, source,
+         round(least(1.0, n_words / 200.0) * 0.5
+               + (1 - least(1.0, n_punct / n_chars_t * 10)) * 0.25
+               + least(1.0, n_stop / n_words * 5) * 0.25, 6) AS quality
+  FROM (
+    SELECT doc_id, source,
+           len(w) AS n_words,
+           length(trim(text)) AS n_chars_t,
+           len(regexp_extract_all(trim(text), '[^A-Za-z0-9\s]')) AS n_punct,
+           len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+    FROM (SELECT doc_id, source, text, string_split(trim(text), ' ') AS w FROM documents))),
+r AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS src_rank,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM q)
+SELECT doc_id, source, quality, src_rank,
+       src_rank <= ceil(0.6 * n_src) AS kept
+FROM r
+"""
+
+
+# --- stride token-window chunking (P46) -----------------------------------
+
+def q129_stride_chunks(spark, sf):
+    """P46: context-window chunking — each document's word stream cut
+    into 64-token windows with stride 48 (16-token overlap), the
+    training-example segmentation between curation and packing. Chunk
+    m starts at token 1+48m; the last chunk is the first to reach the
+    document end (nothing fully covered by its predecessor is
+    emitted). chunk_sig (md5-60 of the '_'-joined slice) is the
+    identity downstream chunk dedup (P25) consumes. One narrow pass:
+    bind words, arithmetic chunk count, explode a sequence, slice —
+    no shuffle, no UDF (operators/textstats.stride_chunks)."""
+    return textstats.stride_chunks(
+        T(spark, sf, "documents"), "doc_id", "text", window=64, stride=48
+    )
+
+
+SQL129 = f"""
+WITH d AS (
+  SELECT doc_id AS id, string_split(trim(text), ' ') AS w,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT id, w, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM (SELECT id, w, n,
+               CASE WHEN n <= 64 THEN 1
+                    ELSE 1 + (n - 64 + 47) // 48 END AS n_chunks
+        FROM d)),
+s AS (
+  SELECT id, chunk_idx, chunk_idx * 48 + 1 AS tok_start,
+         least(64, n - (chunk_idx * 48 + 1) + 1) AS n_chunk_tokens, w
+  FROM c)
+SELECT id, chunk_idx, tok_start, n_chunk_tokens,
+       {_H("array_to_string(list_slice(w, tok_start, tok_start + n_chunk_tokens - 1), '_')")} AS chunk_sig
+FROM s
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -1498,6 +1599,8 @@ QUERIES = {
     "q103_domain_quality": q103_domain_quality,
     "q111_compression_quality": q111_compression_quality,
     "q112_warc_roundtrip": q112_warc_roundtrip,
+    "q128_source_cap": q128_source_cap,
+    "q129_stride_chunks": q129_stride_chunks,
 }
 
 ORACLE = {
@@ -1523,4 +1626,6 @@ ORACLE = {
     "q100_warc_export": SQL100,
     "q103_domain_quality": SQL103,
     "q112_warc_roundtrip": SQL112,
+    "q128_source_cap": SQL128,
+    "q129_stride_chunks": SQL129,
 }
