@@ -426,6 +426,50 @@ class CrawlEngine:
             return {"cycle": c, "scheduled": 0, "deduped": 0, "discovered": 0,
                     "wall_ms": int((time.time() - t0) * 1000), "stop": True}
         docs_ok = docs.filter(F.col("ok") & F.col("redirect_to").isNull())
+        content_delta = None
+        if g.content_dedup:
+            # C35 content-seen test (Mercator-style): a successful
+            # fetch whose content signature is already STORED (an
+            # earlier cycle) or appeared EARLIER IN THIS BATCH
+            # (batch_pos order — the refsim's sequential rule) is a
+            # MIRROR: it still resolves (no refetch), but it is not
+            # stored and its links are not extracted. sig = md5-60 of
+            # the canonical span JSON, the C32 discipline (collision
+            # ≈ 2^-60). Scale: the stored probe is a join against
+            # content_seen projected to its sig column — at 10^10
+            # docs this table gets the same Bloom-sidecar treatment
+            # as url_seen (C5); the within-batch window is ≤ batch
+            # rows. One extra shuffle per cycle, flag-gated.
+            from .portable import md5hash60 as _h60
+            from pyspark.sql import Window as _W
+
+            prev_sigs = (
+                self.cat.read("content_seen", snap)
+                .select("sig")
+                .withColumn("_dup_stored", F.lit(True))
+            )
+            docs_ok = (
+                docs_ok.withColumn("sig", _h60(F.to_json("spans")))
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        _W.partitionBy("sig").orderBy("batch_pos")
+                    ),
+                )
+                .join(prev_sigs, "sig", "left")
+                .withColumn(
+                    "content_novel",
+                    (F.col("_rn") == 1) & F.col("_dup_stored").isNull(),
+                )
+                .drop("_rn", "_dup_stored")
+                .localCheckpoint(eager=False)
+            )
+            content_delta = docs_ok.filter(F.col("content_novel")).select(
+                "sig",
+                F.col("doc_id").alias("url_norm"),
+                F.lit(c).cast("long").alias("cycle_id"),
+            )
+            docs_ok = docs_ok.filter(F.col("content_novel"))
         # attempt outcomes back onto the batch metadata (1:1 on url_norm)
         sched_rows = batch.join(
             docs.select(
@@ -676,9 +720,14 @@ class CrawlEngine:
                     None,
                 ))
         if n_docs:
-            new_docs = docs.filter(
-                F.col("ok") & F.col("redirect_to").isNull()
+            new_docs = (
+                # under C35 docs_ok is already the content-novel subset
+                docs_ok if g.content_dedup else docs.filter(
+                    F.col("ok") & F.col("redirect_to").isNull()
+                )
             ).select("doc_id", "fetch_cycle", "host", "spans")
+            if content_delta is not None:
+                writes.append(("append", "content_seen", content_delta, None))
             if g.conditional_fetch:
                 # C32 conditional re-fetch: a re-fetch whose content
                 # signature equals the LAST stored version is a 304 —

@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig, extract_anchors_from_text
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 14
+_VERSION = 15
 
 
 def _md5_60(s: str) -> int:
@@ -297,6 +297,18 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
         # matches Spark's min(struct(-n, term))
         top = min((-cnt, t) for t, cnt in counts.items())[1]
         q126.append((d, len(anchors), len(counts), top))
+    # q131: the content-seen table (C35) — first stored url per
+    # content signature, in successful-fetch order (under
+    # content_dedup every doc_log entry is novel by construction;
+    # without it, first occurrence wins — same rule)
+    cs_seen: set[int] = set()
+    q131 = []
+    for u, cc, spans in res.doc_log:
+        sg = _md5_60(_span_json(spans))
+        if sg in cs_seen:
+            continue
+        cs_seen.add(sg)
+        q131.append((sg, u, cc))
     wedges: dict[tuple[str, str], int] = {}
     for s_, d, a in anchor_pairs:
         wedges[(s_, d)] = wedges.get((s_, d), 0) + len(a.split(" "))
@@ -390,6 +402,11 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
             " keeper_doc string, keeper_offset int32",
             q102,
         ),
+        "q131_content_seen": (
+            ["sig", "url_norm", "cycle_id"],
+            "sig int64, url_norm string, cycle_id int64",
+            q131,
+        ),
         "q126_anchor_text": (
             ["dst", "n_inlinks", "n_terms", "top_term"],
             "dst string, n_inlinks int64, n_terms int64, top_term string",
@@ -414,7 +431,7 @@ _NAMES = [
     "q86_frame_sample", "q93_crawl_stream_rates", "q67_trap_guard",
     "q68_redirects", "q71_revisit_versions", "q72_change_rates",
     "q76_backoff", "q77_priority_feedback", "q102_media_dedup",
-    "q126_anchor_text", "q127_anchor_authority",
+    "q126_anchor_text", "q127_anchor_authority", "q131_content_seen",
 ]
 
 

@@ -905,6 +905,49 @@ def q127_anchor_authority(spark, sf):
     return graph.weighted_pagerank(edges_w, damping=0.85, iterations=6)
 
 
+def _engine_mirror(spark) -> CrawlEngine:
+    """UNIT_MIRROR crawl: cross-host mirrors + the C35 content-seen
+    suppression — mirrors resolve but are not stored and mint no
+    links."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-mirror"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_MIRROR
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_MIRROR, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q130_content_dedup(spark, sf):
+    """C35 through the driver's harness: with content_dedup on, a
+    successful fetch whose content signature was already stored — or
+    appeared earlier in the batch — is a mirror: not stored, links not
+    extracted. Suppressed links change later-cycle discovery, so the
+    FULL attempt order must match the refsim applying the identical
+    sequential rule (it measurably departs from the suppression-off
+    twin). Oracle: the UNIT_MIRROR refsim's q80 table."""
+    return _engine_mirror(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
+def q131_content_seen(spark, sf):
+    """C35's identity map: content signature → the FIRST url that
+    published it and the landing cycle — exactly one row per distinct
+    stored content (the canonical-copy registry media/content dedup
+    consumers read). Oracle: first-occurrence-per-sig over the refsim
+    fetch log (crawl_oracle.py)."""
+    return _engine_mirror(spark).cat.read("content_seen").select(
+        "sig", "url_norm", "cycle_id"
+    )
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -936,6 +979,8 @@ QUERIES = {
     "q115_priority_aging": q115_priority_aging,
     "q126_anchor_text": q126_anchor_text,
     "q127_anchor_authority": q127_anchor_authority,
+    "q130_content_dedup": q130_content_dedup,
+    "q131_content_seen": q131_content_seen,
 }
 
 ORACLE: dict[str, str] = {}
@@ -1015,4 +1060,12 @@ def build_oracle() -> dict[str, str]:
     anchor_sql = build_crawl_oracles(UNIT_ANCHOR)
     sql["q126_anchor_text"] = anchor_sql["q126_anchor_text"]
     sql["q127_anchor_authority"] = anchor_sql["q127_anchor_authority"]
+    # q130/q131: attempt order + content-seen registry under the C35
+    # content-seen suppression (the refsim applies the identical
+    # sequential rule over the mirrored graph)
+    from ..synth import UNIT_MIRROR
+
+    mirror_sql = build_crawl_oracles(UNIT_MIRROR)
+    sql["q130_content_dedup"] = mirror_sql["q80_crawl_order"]
+    sql["q131_content_seen"] = mirror_sql["q131_content_seen"]
     return sql

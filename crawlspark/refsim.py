@@ -86,6 +86,7 @@ class RefSim:
         budget = cfg.pattern_budget        # C23 trap guard (None = off)
         pat_admits: dict[tuple, int] = {}  # (host, path) -> admissions
         seq = 0
+        content_sigs: set[tuple] = set()   # C35 content-seen (span keys)
         # per-cycle counter scratch: distinct robots-allowed candidates
         # discovered this cycle (the engine's post-dedup `cand` set) and
         # how many of those were novel vs the seen set
@@ -199,6 +200,20 @@ class RefSim:
                     continue
                 n_docs += 1
                 spans = cfg.page_spans(i, j, cfg.page_rev(i, j, c), cycle=c)
+                if cfg.content_dedup:
+                    # C35 content-seen test: a successful fetch whose
+                    # content was already stored (earlier cycle or
+                    # earlier in this batch) is a MIRROR — not stored,
+                    # no links extracted. Key = the canonical span
+                    # tuple; span-list equality ⟺ identical canonical
+                    # JSON ⟺ identical md5-60, the engine's sig.
+                    ckey = tuple(
+                        (s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in spans
+                    )
+                    if ckey in content_sigs:
+                        continue
+                    content_sigs.add(ckey)
                 if (
                     cfg.conditional_fetch
                     and u in res.docs

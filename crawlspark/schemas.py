@@ -99,6 +99,18 @@ EDGES = T.StructType(
     ]
 )
 
+# C35 (content-seen test): sig = md5-60 of the canonical span JSON of
+# each content-NOVEL stored document → the first URL that published it
+# and the cycle it landed. Mirrors (later fetches with a stored sig)
+# are suppressed: not stored, links not extracted.
+CONTENT_SEEN = T.StructType(
+    [
+        T.StructField("sig", T.LongType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("cycle_id", T.LongType(), False),
+    ]
+)
+
 URL_SEEN = T.StructType(
     [
         T.StructField("url_hash", T.LongType(), False),
@@ -233,6 +245,7 @@ TABLE_SCHEMAS = {
     "retry_state": RETRY_STATE,
     "edges": EDGES,
     "url_seen": URL_SEEN,
+    "content_seen": CONTENT_SEEN,
     "bloom_seen": BLOOM_SEEN,
     "cuckoo_seen": CUCKOO_SEEN,
     "host_config": HOST_CONFIG,

@@ -157,6 +157,19 @@ class GraphConfig:
     # Off by default: every fetch stores, as before.
     conditional_fetch: bool = False
     robots_all: bool = False
+    # C35 (content-seen test, Mercator §3.2-style): mirror_every > 0
+    # makes every mirror_every'th regular page (hash-picked, sites
+    # i > 0) serve a BYTE-IDENTICAL copy of a site-0 page's body —
+    # the cross-host mirrors / scraped copies a web crawl meets
+    # constantly. content_dedup turns on the engine's suppression: a
+    # successful fetch whose content signature is already stored
+    # (earlier cycle, or earlier in this batch) is NOT stored and its
+    # links are NOT extracted; content_seen records sig → first url.
+    # Both default off: every existing graph is byte-identical.
+    # (Not combined with revisit/revision scenarios — a re-fetch of
+    # the SAME url would suppress itself by design.)
+    mirror_every: int = 0
+    content_dedup: bool = False
     # C13 extension (anchor text): when on, every regular-page outlink
     # renders as `href="URL">anc… terms</a>` — 1-3 deterministic anchor
     # terms per link. Link EXTRACTION is unchanged (the shared href
@@ -578,6 +591,18 @@ class GraphConfig:
                 )
             )
             return [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
+        if (
+            self.mirror_every
+            and i > 0
+            and j > 0
+            and h64(self.seed, "mirror", i, j) % self.mirror_every == 0
+        ):
+            # C35 substrate: this page is a byte-identical MIRROR of a
+            # site-0 page (site 0 never mirrors, so no recursion).
+            # Relative hrefs in the copied body resolve against the
+            # MIRROR's url — exactly how scraped copies leak their
+            # host into the link graph.
+            return self.page_spans(0, j % self.pages_in_site(0), rev, cycle)
         links = self.outlinks_messy(i, j)
         if i < self.trap_hosts:
             links = links + [self.cal_url(i, 1)]
@@ -708,6 +733,18 @@ UNIT_REDIR = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 UNIT_REV = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                        max_cycles=9, revision_every=3,
                        revisit_after=6, revisit_min_age=3)
+# UNIT graph + cross-host mirrors (every 3rd hash-picked page of
+# sites 1-4 serves a byte-identical site-0 body) + the content-seen
+# suppression ON: mirrors resolve but are not stored and mint no
+# links, so later-cycle discovery (and hence ordering) measurably
+# departs from the suppression-off twin
+# (mirror_every=2 / 8 cycles: 13 of 45 successful fetches suppress,
+# and both the attempt order and the final seen set measurably
+# diverge from the suppression-off twin — verified in
+# tests/test_content_dedup.py)
+UNIT_MIRROR = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                          max_cycles=8, mirror_every=2,
+                          content_dedup=True)
 # UNIT graph + anchor-text rendering on every outlink: same crawl
 # ordering/seen set as UNIT (the shared href extraction ignores the
 # anchor suffix — asserted in tests), but page text carries
