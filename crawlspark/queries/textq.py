@@ -370,8 +370,8 @@ def q48_lm_quality(spark, sf):
     )
 
 
-SQL48 = """
-WITH g AS (
+# the bigram-LM CTE chain, shared by SQL48 (scores) and SQL132 (bands)
+_LM_CTES = """g AS (
   SELECT doc_id, gram
   FROM (
     SELECT doc_id,
@@ -385,13 +385,19 @@ per AS (SELECT doc_id, gram, count(*) AS c_dg FROM g GROUP BY doc_id, gram),
 model AS (SELECT gram, sum(c_dg) AS c_bi FROM per GROUP BY gram),
 denom AS (
   SELECT CAST((SELECT sum(c_bi) FROM model) + (SELECT count(*) FROM model) AS DOUBLE) AS d
-)
-SELECT doc_id,
-       round(CAST(sum(c_dg * (c_bi + 1)) AS DOUBLE)
-             / (CAST(sum(c_dg) AS DOUBLE) * (SELECT d FROM denom)), 6)
-       AS lm_score
-FROM per JOIN model USING (gram)
-GROUP BY doc_id
+),
+scores AS (
+  SELECT doc_id,
+         round(CAST(sum(c_dg * (c_bi + 1)) AS DOUBLE)
+               / (CAST(sum(c_dg) AS DOUBLE) * (SELECT d FROM denom)), 6)
+         AS lm_score
+  FROM per JOIN model USING (gram)
+  GROUP BY doc_id
+)"""
+
+SQL48 = f"""
+WITH {_LM_CTES}
+SELECT doc_id, lm_score FROM scores
 """
 
 
@@ -1570,6 +1576,112 @@ FROM s
 """
 
 
+
+
+# --- CCNet-style perplexity banding (P47) ----------------------------------
+
+def q132_perplexity_bands(spark, sf):
+    """P47: CCNet-style perplexity banding — within each language,
+    scored docs split into head/middle/tail TERCILES of the q48
+    corpus-typicality score (rank*3 <= n -> head, <= 2n -> middle,
+    else tail; score DESC, doc_id tie-break). An exact integer-rank
+    rule, no float quantiles, so the band assignment replays
+    identically across engines and partitionings. The standard
+    curation knob: train on head+middle, audit the tail. Languages
+    are few and large, so at 10^10 docs the per-lang window takes the
+    q128 threshold-prefilter treatment (approx-quantile band edges,
+    exact trim at the boundaries)."""
+    from pyspark.sql import Window
+
+    scores = q48_lm_quality(spark, sf)
+    d = T(spark, sf, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score").desc(), F.col("doc_id").asc()
+    )
+    nw = Window.partitionBy("lang")
+    return (
+        scores.join(d, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_lang", F.count("*").over(nw))
+        .select(
+            "doc_id", "lang", "lm_score",
+            F.when(F.col("rnk") * 3 <= F.col("n_lang"), "head")
+            .when(F.col("rnk") * 3 <= 2 * F.col("n_lang"), "middle")
+            .otherwise("tail")
+            .alias("band"),
+        )
+    )
+
+
+SQL132 = f"""
+WITH {_LM_CTES},
+j AS (
+  SELECT s.doc_id, d.lang, s.lm_score
+  FROM scores s JOIN documents d USING (doc_id)),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id ASC) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM j)
+SELECT doc_id, lang, lm_score,
+       CASE WHEN rnk * 3 <= n_lang THEN 'head'
+            WHEN rnk * 3 <= 2 * n_lang THEN 'middle'
+            ELSE 'tail' END AS band
+FROM r
+"""
+
+
+# --- training-mix data budgeting (P48) --------------------------------------
+
+BUDGET133 = 10_000_000
+
+
+def q133_data_budget(spark, sf):
+    """P48: training-mix data budgeting — given per-source token
+    counts (q40's counting rule), deterministic mixture weights
+    (1 + md5(source) % 4), and a fixed training-token budget, derive
+    each source's target token allocation and the repetition factor
+    (epochs = ceil(target/available)) a mix planner schedules before
+    launching a run. Every allocation step is exact 64-bit integer
+    arithmetic (`div`; one float divide only for the reported budget
+    share), so the plan replays identically across engines,
+    partitionings and resumes. One scalar collect (the weight total);
+    everything else is a partial-agg groupBy on source."""
+    d = T(spark, sf, "documents").withColumn(
+        "n_tokens", textstats.token_count_col(F.col("text"))
+    )
+    per = (
+        d.groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("n_tokens"))
+        .withColumn("weight", (md5hash60(F.col("source")) % 4 + 1).cast("long"))
+    )
+    wtot = int(per.agg(F.sum("weight").alias("w")).collect()[0]["w"])
+    tgt = F.expr(f"({BUDGET133} * weight) div {wtot}")
+    return per.select(
+        "source", "n_tokens", "weight",
+        tgt.alias("target_tokens"),
+        F.expr(
+            f"(({BUDGET133} * weight) div {wtot} + n_tokens - 1) div n_tokens"
+        ).alias("epochs"),
+        F.round(tgt.cast("double") / F.lit(float(BUDGET133)), 6).alias("budget_share"),
+    )
+
+
+SQL133 = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens,
+         CAST({_H("source")} % 4 + 1 AS BIGINT) AS weight
+  FROM documents GROUP BY source),
+wt AS (SELECT sum(weight) AS w FROM per)
+SELECT source, n_tokens, weight,
+       ({BUDGET133} * weight) // (SELECT w FROM wt) AS target_tokens,
+       (({BUDGET133} * weight) // (SELECT w FROM wt) + n_tokens - 1) // n_tokens AS epochs,
+       round(CAST(({BUDGET133} * weight) // (SELECT w FROM wt) AS DOUBLE) / {BUDGET133}, 6) AS budget_share
+FROM per
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -1601,6 +1713,8 @@ QUERIES = {
     "q112_warc_roundtrip": q112_warc_roundtrip,
     "q128_source_cap": q128_source_cap,
     "q129_stride_chunks": q129_stride_chunks,
+    "q132_perplexity_bands": q132_perplexity_bands,
+    "q133_data_budget": q133_data_budget,
 }
 
 ORACLE = {
@@ -1628,4 +1742,6 @@ ORACLE = {
     "q112_warc_roundtrip": SQL112,
     "q128_source_cap": SQL128,
     "q129_stride_chunks": SQL129,
+    "q132_perplexity_bands": SQL132,
+    "q133_data_budget": SQL133,
 }
