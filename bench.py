@@ -50,6 +50,10 @@ HEADLINE = [
     # extended-round components (BASELINE.md notes the set growth)
     "q113_span_dedup",
     "q116_budget_select",
+    # second-extension components (crawl-scenario queries — q126/q127,
+    # q130/q131 — are measured in the crawl section, not here)
+    "q129_stride_chunks",
+    "q132_perplexity_bands",
 ]
 
 
