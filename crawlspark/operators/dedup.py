@@ -302,6 +302,93 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     )
 
 
+def prefix_filter_candidates(
+    sh: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """(i, j) complete candidate pairs for a containment join at
+    threshold t = t_num/t_den, i < j — the AllPairs/SSJoin prefix
+    filter (Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06).
+
+    MinHash banding is the wrong prefilter for CONTAINMENT (a short
+    document pasted inside a long one has low Jaccard, so its
+    minhashes — mins over the union — rarely collide). The prefix
+    filter is exact instead of probabilistic: order each document's
+    shingles in a global canonical order (rarest-first: ascending
+    (df, shingle)); a pair with |A∩B| ≥ ceil(t·min(|A|,|B|)) — implied
+    by containment ≥ t — must collide on one of the SMALLER side's
+    first n − ceil(t·n) + 1 shingles (if all of them missed, fewer
+    than ceil(t·n) matches remain). So only prefixes are indexed on
+    the probe side, joined against full postings of the
+    equal-or-larger side — completeness is guaranteed (25/25 vs brute
+    force on the probe corpus, pinned in tests), never all-pairs.
+
+    ceil(t·n) is exact integer math ((t_num·n + t_den − 1) div t_den),
+    so the candidate set replays identically across engines and
+    partitionings. Scale shape: one partial-agg df table, one per-doc
+    window (bounded by shingles-per-doc), and a join that shuffles on
+    the shingle key; rarest-first prefixes land in the df long tail,
+    so Σ_prefix df stays near-linear on Zipfian web text (the pruning
+    ratio degrades gracefully on synthetic flat-vocab corpora)."""
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "id")
+        .withColumn(
+            "r", F.row_number().over(Window.partitionBy("id").orderBy("df", "shingle"))
+        )
+    )
+    alpha = F.expr(f"(({t_num} * n + {t_den - 1}) div {t_den})")
+    prefix = ranked.filter(F.col("r") <= F.col("n") - alpha + 1).select(
+        F.col("id").alias("pid"), "shingle", F.col("n").alias("pn")
+    )
+    full = ranked.select(
+        F.col("id").alias("fid"), F.col("shingle").alias("fsh"), F.col("n").alias("fn")
+    )
+    return (
+        prefix.join(
+            full,
+            (F.col("shingle") == F.col("fsh"))
+            & (
+                (F.col("pn") < F.col("fn"))
+                | ((F.col("pn") == F.col("fn")) & (F.col("pid") != F.col("fid")))
+            ),
+        )
+        .select(
+            F.least("pid", "fid").alias("i"), F.greatest("pid", "fid").alias("j")
+        )
+        .distinct()
+    )
+
+
+def containment_verify(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact containment for candidate pairs only → (i, j, containment).
+
+    containment = |A∩B| / min(|A|, |B|) — the asymmetric near-dup
+    measure (Broder's containment, symmetrized by the min) that
+    catches a document embedded inside a larger one, which Jaccard
+    dilutes by the union size. Same candidates-only join shape as
+    :func:`jaccard_verify`: cost ∝ candidates × shingles-per-doc."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    shi = sh.select(F.col("id").alias("i"), "shingle")
+    shj = sh.select(F.col("id").alias("j2"), F.col("shingle").alias("shingle_j"))
+    inter = (
+        pairs.join(shi, "i")
+        .join(shj, (F.col("j") == F.col("j2")) & (F.col("shingle") == F.col("shingle_j")))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("i"), F.col("n").alias("ni")), "i")
+        .join(sizes.select(F.col("id").alias("j"), F.col("n").alias("nj")), "j")
+        .withColumn("containment", F.col("inter") / F.least("ni", "nj"))
+        .filter(F.col("containment") >= threshold)
+        .select("i", "j", F.round("containment", 6).alias("containment"))
+    )
+
+
 def minhash_near_dups(
     df: DataFrame, id_col: str, text_col: str,
     k: int = 2, n_hashes: int = 8, bands: int = 4, threshold: float = 0.5,

@@ -135,6 +135,74 @@ def weighted_pagerank(
     return out
 
 
+def hits(edges: DataFrame, iterations: int = 6) -> DataFrame:
+    """(id, hub, auth): Kleinberg's HITS over directed edges —
+    mutual reinforcement between hub pages (link out to good
+    authorities: directory/index pages a crawler should fan out from)
+    and authority pages (linked from good hubs: the pages worth
+    fetch-priority), the classic complement to PageRank for
+    crawl-frontier scoring.
+
+    Each round: auth = Eᵀ·hub, then hub = E·auth (with the NEW auth —
+    the textbook update order). Scores stay UN-normalized through the
+    loop with a single L1 normalization at the end: the updates are
+    linear, so scaling commutes and the result equals per-round
+    normalization exactly while halving the float ops and
+    cross-engine divergence surface (values stay well inside double
+    range — growth is bounded by (max degree)² per round and
+    `iterations` is O(6)). Same scale posture as pagerank: one join +
+    partial-agg per half-round shuffling on the edge key only,
+    per-round localCheckpoint truncation (hubs feeds two plans next
+    round), no per-iteration driver collect; the final norm is a
+    broadcast 1-row aggregate."""
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = nodes.withColumn("auth", F.lit(1.0))
+    for _ in range(iterations):
+        a_in = (
+            edges.join(hubs, edges["src"] == hubs["id"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a"))
+        )
+        auths = (
+            nodes.join(a_in, nodes["id"] == a_in["dst"], "left")
+            .select("id", F.coalesce("a", F.lit(0.0)).alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        h_in = (
+            edges.join(auths, edges["dst"] == auths["id"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h"))
+        )
+        hubs = (
+            nodes.join(h_in, nodes["id"] == h_in["src"], "left")
+            .select("id", F.coalesce("h", F.lit(0.0)).alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+    joined = hubs.join(auths, "id")
+    norms = joined.agg(
+        F.sum("hub").alias("_sh"), F.sum("auth").alias("_sa")
+    )
+    out = (
+        joined.crossJoin(F.broadcast(norms))
+        .select(
+            "id",
+            F.round(F.col("hub") / F.col("_sh"), 6).alias("hub"),
+            F.round(F.col("auth") / F.col("_sa"), 6).alias("auth"),
+        )
+    )
+    for df in (nodes, edges):
+        df.unpersist()
+    return out
+
+
 def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """(id, component): min-label propagation over undirected edges —
     e.g. cluster near-dup pairs so exact-dedup can pick one keeper per

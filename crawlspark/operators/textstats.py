@@ -655,6 +655,62 @@ def budget_select(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame, id_col: str, n_epochs: int, seed: str = "ep",
+    distributed: bool = False,
+) -> DataFrame:
+    """P50: deterministic per-epoch global shuffle — the training
+    dataloader's example order as dataflow → (epoch, pos, doc_id).
+
+    Epoch e's permutation orders examples by md5-60(seed#e#id) with an
+    id tie-break, so the order is total: stable under task retries and
+    any partitioning (unlike rand(), which re-draws per attempt),
+    reproducible from (seed, epoch) alone — the property a resumable
+    trainer needs to skip to mid-epoch position k without replaying the
+    stream — and uncorrelated across epochs because the epoch number
+    sits inside the hash input.
+
+    Scale shape (10^9 docs × E epochs): position assignment delegates
+    to schedule.rank_seq — one window task per epoch at probe scale;
+    above ~64k rows the caller flips `distributed` and the same
+    fully-distributed two-phase rank as C18 runs (range-partition on
+    (epoch, key, id), the driver collects P per-partition COUNTS, never
+    rows). Both paths produce identical positions because the order is
+    total (pinned in tests). Emitting positions rather than a sorted
+    materialization keeps the output joinable back to any storage
+    layout without a global sort per epoch."""
+    from pyspark.sql import Window
+
+    from .schedule import rank_seq
+
+    keyed = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))))
+        .withColumn(
+            "skey",
+            md5hash60(
+                F.concat_ws(
+                    "#",
+                    F.lit(seed),
+                    F.col("epoch").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+    )
+    if distributed:
+        n = df.count()  # one scalar: epoch-local pos = global seq - epoch*n
+        out = rank_seq(keyed, 0, ["epoch", "skey", "doc_id"], distributed=True)
+        out = out.withColumn(
+            "pos",
+            (F.col("seq") - 1 - F.col("epoch").cast("long") * F.lit(n)).cast("long"),
+        )
+    else:
+        w = Window.partitionBy("epoch").orderBy("skey", "doc_id")
+        out = keyed.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+    return out.select("epoch", "pos", "doc_id")
+
+
 def bpe_merges(df: DataFrame, text_col: str, k_rounds: int = 10) -> DataFrame:
     """P39: distributed BPE merge learning — the tokenizer-training
     prep step. The corpus is scanned ONCE into a word-frequency table;

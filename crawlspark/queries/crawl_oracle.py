@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig, extract_anchors_from_text
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 15
+_VERSION = 16
 
 
 def _md5_60(s: str) -> int:
@@ -139,6 +139,30 @@ def _weighted_pagerank(
             for u in nodes
         }
     return [(u, _round6_half_up(r)) for u, r in ranks.items()]
+
+
+def _hits(edges: list[tuple[str, str]], iterations: int):
+    """Dict-based HITS twin of operators/graph.hits: un-normalized
+    auth = Eᵀ·hub then hub = E·auth per round (textbook order), one
+    final L1 normalization — the identical linear updates, so the two
+    agree to the last ulp before the round-6 output."""
+    es = sorted(set(edges))
+    nodes = sorted({s for s, _ in es} | {d for _, d in es})
+    hub = {u: 1.0 for u in nodes}
+    auth = {u: 1.0 for u in nodes}
+    for _ in range(iterations):
+        auth = {u: 0.0 for u in nodes}
+        for s, d in es:
+            auth[d] += hub[s]
+        hub = {u: 0.0 for u in nodes}
+        for s, d in es:
+            hub[s] += auth[d]
+    sh = sum(hub.values())
+    sa = sum(auth.values())
+    return [
+        (u, _round6_half_up(hub[u] / sh), _round6_half_up(auth[u] / sa))
+        for u in nodes
+    ]
 
 
 def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], str, list[tuple]]]:
@@ -313,6 +337,7 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
     for s_, d, a in anchor_pairs:
         wedges[(s_, d)] = wedges.get((s_, d), 0) + len(a.split(" "))
     q127 = _weighted_pagerank(wedges, damping=0.85, iterations=6)
+    q136 = _hits(res.edges, iterations=6)
     return {
         "q80_crawl_order": (
             ["cycle_id", "batch_pos", "url_norm", "url_hash", "host",
@@ -417,6 +442,11 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
             "id string, rank double",
             q127,
         ),
+        "q136_hits": (
+            ["id", "hub", "auth"],
+            "id string, hub double, auth double",
+            q136,
+        ),
     }
 
 
@@ -432,6 +462,7 @@ _NAMES = [
     "q68_redirects", "q71_revisit_versions", "q72_change_rates",
     "q76_backoff", "q77_priority_feedback", "q102_media_dedup",
     "q126_anchor_text", "q127_anchor_authority", "q131_content_seen",
+    "q136_hits",
 ]
 
 

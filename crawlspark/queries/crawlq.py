@@ -121,6 +121,22 @@ def q85_pagerank(spark, sf):
     return graph.pagerank(edges, damping=0.85, iterations=6)
 
 
+def q136_hits(spark, sf):
+    """P51 — Kleinberg HITS over the crawl's discovered link graph:
+    hub scores (directory/index pages worth fanning out from) and
+    authority scores (pages worth fetch-priority), the classic
+    complement to q85's PageRank for frontier scoring — authorities
+    feed C8 priority like q77, hubs feed link-extraction budget.
+    Oracle: refsim dict twin (crawl_oracle._hits), identical linear
+    updates + one final L1 norm, round-6."""
+    from ..operators import graph
+
+    edges = (
+        _engine(spark).cat.read("edges").select("src", "dst").distinct()
+    )
+    return graph.hits(edges, iterations=6)
+
+
 def q77_priority_feedback(spark, sf):
     """PageRank-fed priority refresh (the quality feedback loop into
     C8 scoring): host authority = its best page's damped rank — max,
@@ -955,6 +971,7 @@ QUERIES = {
     "q83_crawl_metrics": q83_crawl_metrics,
     "q84_media_features": q84_media_features,
     "q85_pagerank": q85_pagerank,
+    "q136_hits": q136_hits,
     "q86_frame_sample": q86_frame_sample,
     "q67_trap_guard": q67_trap_guard,
     "q68_redirects": q68_redirects,

@@ -279,6 +279,47 @@ WHERE n_inter / (si.n + sj.n - n_inter) >= 0.5
 """
 
 
+# --- containment near-dups (asymmetric: short doc inside a long one) -----
+
+def q134_containment_pairs(spark, sf):
+    """P49 — n-gram containment near-dups. Jaccard (q52/q55) misses a
+    short document pasted inside a much longer one (the union term
+    dilutes the score); containment = |A∩B|/min(|A|,|B|) is the
+    standard asymmetric complement (Broder's resemblance/containment
+    pair). Candidates come from the COMPLETE AllPairs/SSJoin prefix
+    filter (MinHash bands are the wrong prefilter for containment —
+    see prefix_filter_candidates' docstring), verified exactly over
+    the SAME memoized shingle substrate q51/q52/q56 share."""
+    sh = _shingles(spark, sf)
+    cands = dedup.prefix_filter_candidates(sh, t_num=3, t_den=5)
+    return dedup.containment_verify(cands, sh, threshold=0.6)
+
+
+SQL134 = f"""
+WITH {SH_CTE},
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+szr AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+ranked AS (
+  SELECT s.id, s.shingle, z.n,
+         row_number() OVER (PARTITION BY s.id ORDER BY d.df, s.shingle) AS r
+  FROM sh s JOIN dfreq d ON d.shingle = s.shingle JOIN szr z ON z.id = s.id),
+pfx AS (SELECT id, shingle, n FROM ranked WHERE r <= n - ((3*n + 4) // 5) + 1),
+cand AS (
+  SELECT DISTINCT least(p.id, f.id) AS i, greatest(p.id, f.id) AS j
+  FROM pfx p JOIN ranked f ON f.shingle = p.shingle
+  WHERE p.n < f.n OR (p.n = f.n AND p.id <> f.id)),
+inter AS (
+  SELECT c.i, c.j, count(*) AS n_inter
+  FROM cand c JOIN sh a ON a.id = c.i
+              JOIN sh b ON b.id = c.j AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1)
+SELECT i, j, round(n_inter / least(si.n, sj.n), 6) AS containment
+FROM inter JOIN sz si ON si.id = i JOIN sz sj ON sj.id = j
+WHERE n_inter / least(si.n, sj.n) >= 0.6
+"""
+
+
 # --- near-dup clustering + keeper selection (iterative op with a
 # --- recursive-CTE oracle) ------------------------------------------------
 
@@ -567,6 +608,7 @@ QUERIES = {
     "q53_simhash": q53_simhash,
     "q54_simhash_pairs": q54_simhash_pairs,
     "q55_chargram_pairs": q55_chargram_pairs,
+    "q134_containment_pairs": q134_containment_pairs,
     "q56_dedup_clusters": q56_dedup_clusters,
     "q70_incremental_dedup": q70_incremental_dedup,
     "q106_leakage_safe_split": q106_leakage_safe_split,
@@ -582,6 +624,7 @@ ORACLE = {
     "q53_simhash": SQL53,
     "q54_simhash_pairs": SQL54,
     "q55_chargram_pairs": SQL55,
+    "q134_containment_pairs": SQL134,
     "q56_dedup_clusters": SQL56,
     "q70_incremental_dedup": SQL70,
     "q106_leakage_safe_split": SQL106,

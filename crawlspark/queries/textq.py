@@ -1682,6 +1682,37 @@ FROM per
 """
 
 
+# --- deterministic epoch shuffle (P50) -------------------------------------
+
+def q135_epoch_shuffle(spark, sf):
+    """P50: deterministic per-epoch global shuffle — 4 training
+    epochs' example orders as (epoch, pos, doc_id), each epoch a
+    hash-keyed permutation (md5-60('ep#'||epoch||'#'||doc_id), doc_id
+    tie-break). Retry-stable and partitioning-invariant where rand()
+    is neither; resumable mid-epoch from (seed, epoch, pos) alone;
+    epochs decorrelated because the epoch number is inside the hash.
+    Scale path: the same two-phase distributed rank as C18 (see
+    operators/textstats.epoch_shuffle)."""
+    return textstats.epoch_shuffle(
+        T(spark, sf, "documents"), "doc_id", n_epochs=4, seed="ep"
+    )
+
+
+SQL135 = f"""
+WITH e AS (
+  SELECT doc_id, CAST(i AS INT) AS epoch
+  FROM documents, UNNEST(generate_series(0, 3)) AS t(i)),
+k AS (
+  SELECT epoch, doc_id,
+         {_H("'ep' || '#' || CAST(epoch AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)")} AS skey
+  FROM e)
+SELECT epoch,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos,
+       doc_id
+FROM k
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -1715,6 +1746,7 @@ QUERIES = {
     "q129_stride_chunks": q129_stride_chunks,
     "q132_perplexity_bands": q132_perplexity_bands,
     "q133_data_budget": q133_data_budget,
+    "q135_epoch_shuffle": q135_epoch_shuffle,
 }
 
 ORACLE = {
@@ -1744,4 +1776,5 @@ ORACLE = {
     "q129_stride_chunks": SQL129,
     "q132_perplexity_bands": SQL132,
     "q133_data_budget": SQL133,
+    "q135_epoch_shuffle": SQL135,
 }

@@ -48,6 +48,32 @@ def test_pagerank_matches_power_iteration(spark):
         assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
 
 
+def test_hits_matches_reference(spark):
+    edges_df, e = _edges(spark)
+    got = {
+        r["id"]: (r["hub"], r["auth"]) for r in graph.hits(edges_df, 6).collect()
+    }
+
+    nodes = sorted({x for p in e for x in p})
+    hub = {u: 1.0 for u in nodes}
+    auth = {u: 1.0 for u in nodes}
+    for _ in range(6):
+        auth = {u: 0.0 for u in nodes}
+        for s, d in e:
+            auth[d] += hub[s]
+        hub = {u: 0.0 for u in nodes}
+        for s, d in e:
+            hub[s] += auth[d]
+    sh, sa = sum(hub.values()), sum(auth.values())
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u][0] - hub[u] / sh) < 1e-6, (u, got[u])
+        assert abs(got[u][1] - auth[u] / sa) < 1e-6, (u, got[u])
+    # sanity: a (many out-links to the cycle) hubs high; c/a authorities
+    assert got["e"][0] > got["g"][0]  # e links out, g is a sink
+    assert got["c"][1] > got["e"][1]  # c is heavily linked-to, e never
+
+
 def test_connected_components_matches_union_find(spark):
     pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4), (40, 41)]
     pdf = spark.createDataFrame(pairs, "i long, j long")
