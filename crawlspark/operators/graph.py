@@ -203,6 +203,53 @@ def hits(edges: DataFrame, iterations: int = 6) -> DataFrame:
     return out
 
 
+def bfs_distances(
+    edges: DataFrame,  # (src, dst)
+    seeds: DataFrame,  # (id)
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, dist): min-hop distance from the seed set over directed
+    edges — frontier-based BFS as dataflow, the crawl-QA metric that
+    audits discovery depth against TRUE link distance (a page first
+    discovered at depth 5 but linkable in 2 hops signals frontier
+    starvation; distance-from-seed is also a standard quality feature
+    for crawl selection).
+
+    Frontier-based, not whole-graph relaxation: each round joins the
+    edges against ONLY the nodes settled last round and anti-joins the
+    already-settled set away, so total work is O(E) across ALL rounds
+    combined — min-label propagation (connected_components' shape)
+    would rescan every edge every round. Distances are integers, so
+    the result is exactly partitioning/retry-invariant (no float
+    parity surface at all). One bounded driver action per round (the
+    frontier count, doubling as the early-stop test), rounds ≤ graph
+    diameter; per-round localCheckpoint keeps the settled set's plan
+    O(1) deep."""
+    edges = edges.persist()
+    settled = (
+        seeds.select("id")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for k in range(1, max_iterations + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(settled, "id", "left_anti")
+            .withColumn("dist", F.lit(k).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return settled
+
+
 def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """(id, component): min-label propagation over undirected edges —
     e.g. cluster near-dup pairs so exact-dedup can pick one keeper per

@@ -326,6 +326,41 @@ def tfidf_top_terms(
     )
 
 
+def positional_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, id, pos) positional postings — the classic IR inverted
+    index layout (term-major, with in-document positions), the
+    substrate phrase queries, proximity scoring and span-level
+    provenance all consume. One narrow posexplode; the downstream
+    shuffle key is the term, so postings for a term co-locate —
+    exactly the layout a distributed index build wants."""
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(words(text_col)).alias("pos", "term")
+    )
+
+
+def phrase_occurrences(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """(id, n_occ) exact-phrase match via positional-posting
+    intersection: term k of the phrase must appear at pos₀ + k. The
+    standard positional-index phrase algorithm — each phrase term
+    filters the postings to ONE term's list (pushed to the scan), and
+    the k−1 joins run on (id, pos arithmetic) over those single-term
+    lists, never the full index. Cost ∝ Σ postings(termᵏ); rare-term
+    phrases are near-free, hot-term phrases degrade to the hot list's
+    size — the same profile as a production positional index."""
+    cur = postings.filter(F.col("term") == terms[0]).select(
+        "id", F.col("pos").alias("p0")
+    )
+    for k, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col("id").alias("_id"), F.col("pos").alias("_p")
+        )
+        cur = cur.join(
+            nxt,
+            (F.col("id") == F.col("_id")) & (F.col("_p") == F.col("p0") + k),
+        ).drop("_id", "_p")
+    return cur.groupBy("id").agg(F.count("*").alias("n_occ"))
+
+
 def curate(
     df: DataFrame,
     id_col: str,

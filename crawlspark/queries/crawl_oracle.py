@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig, extract_anchors_from_text
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 16
+_VERSION = 17
 
 
 def _md5_60(s: str) -> int:
@@ -163,6 +163,29 @@ def _hits(edges: list[tuple[str, str]], iterations: int):
         (u, _round6_half_up(hub[u] / sh), _round6_half_up(auth[u] / sa))
         for u in nodes
     ]
+
+
+def _bfs(edges: list[tuple[str, str]], seeds: list[str]):
+    """Deque-free level-synchronous BFS twin of
+    operators/graph.bfs_distances: integer min-hop distances from the
+    seed set — no float surface, so the parity is exact by
+    construction."""
+    adj: dict[str, list[str]] = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    dist = {u: 0 for u in sorted(set(seeds))}
+    frontier = sorted(dist)
+    k = 0
+    while frontier:
+        k += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = k
+                    nxt.append(v)
+        frontier = sorted(set(nxt))
+    return sorted(dist.items())
 
 
 def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], str, list[tuple]]]:
@@ -338,6 +361,12 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
         wedges[(s_, d)] = wedges.get((s_, d), 0) + len(a.split(" "))
     q127 = _weighted_pagerank(wedges, damping=0.85, iterations=6)
     q136 = _hits(res.edges, iterations=6)
+    # q138: seeds = the depth-0 scheduled fetches (the crawl's entry
+    # contract), distances over the discovered link graph
+    q138 = _bfs(
+        res.edges,
+        [u for (_c, _p, u, _h, _s, _q, depth, _a, _ok) in res.order if depth == 0],
+    )
     return {
         "q80_crawl_order": (
             ["cycle_id", "batch_pos", "url_norm", "url_hash", "host",
@@ -447,6 +476,11 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
             "id string, hub double, auth double",
             q136,
         ),
+        "q138_link_distance": (
+            ["id", "dist"],
+            "id string, dist int32",
+            q138,
+        ),
     }
 
 
@@ -462,7 +496,7 @@ _NAMES = [
     "q68_redirects", "q71_revisit_versions", "q72_change_rates",
     "q76_backoff", "q77_priority_feedback", "q102_media_dedup",
     "q126_anchor_text", "q127_anchor_authority", "q131_content_seen",
-    "q136_hits",
+    "q136_hits", "q138_link_distance",
 ]
 
 

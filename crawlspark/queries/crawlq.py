@@ -137,6 +137,26 @@ def q136_hits(spark, sf):
     return graph.hits(edges, iterations=6)
 
 
+def q138_link_distance(spark, sf):
+    """P53 — BFS min-hop distance from the depth-0 seed fetches over
+    the discovered link graph: the crawl-QA signal comparing TRUE
+    link distance against discovery depth (starvation audit) and the
+    standard distance-from-seed quality feature. Frontier-based BFS
+    (operators/graph.bfs_distances), integer-exact. Oracle: refsim
+    level-synchronous BFS twin (crawl_oracle._bfs)."""
+    from ..operators import graph
+
+    eng = _engine(spark)
+    edges = eng.cat.read("edges").select("src", "dst").distinct()
+    seeds = (
+        eng.crawl_order()
+        .filter(F.col("depth") == 0)
+        .select(F.col("url_norm").alias("id"))
+        .distinct()
+    )
+    return graph.bfs_distances(edges, seeds)
+
+
 def q77_priority_feedback(spark, sf):
     """PageRank-fed priority refresh (the quality feedback loop into
     C8 scoring): host authority = its best page's damped rank — max,
@@ -972,6 +992,7 @@ QUERIES = {
     "q84_media_features": q84_media_features,
     "q85_pagerank": q85_pagerank,
     "q136_hits": q136_hits,
+    "q138_link_distance": q138_link_distance,
     "q86_frame_sample": q86_frame_sample,
     "q67_trap_guard": q67_trap_guard,
     "q68_redirects": q68_redirects,

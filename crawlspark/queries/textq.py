@@ -1682,6 +1682,54 @@ FROM per
 """
 
 
+# --- positional inverted index + phrase search (P52) -----------------------
+
+def q137_phrase_search(spark, sf):
+    """P52: exact-phrase search over a positional inverted index —
+    (term, doc, pos) postings (operators/textstats.positional_index)
+    intersected positionally (term k at pos₀+k), the classic IR
+    phrase algorithm. The probe phrase is data-derived but
+    deterministic: the corpus' most frequent word bigram (count DESC,
+    bigram ASC — one bounded 1-row collect), so the query replays
+    identically across engines and partitionings. Each phrase term
+    prunes the postings scan to a single term's list; the join runs
+    on (doc, pos arithmetic) over those lists only."""
+    from ..portable import shingles, words
+
+    d = T(spark, sf, "documents")
+    post = textstats.positional_index(d, "doc_id", "text")
+    top = (
+        d.select(F.explode(shingles(words("text"), 2, " ")).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(1)
+        .collect()[0]["g"]
+    )
+    return textstats.phrase_occurrences(post, top.split(" ")).select(
+        F.col("id").alias("doc_id"), F.lit(top).alias("phrase"), "n_occ"
+    )
+
+
+SQL137 = """
+WITH wtab AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+g AS (
+  SELECT (w[i] || ' ' || w[i+1]) AS g
+  FROM wtab, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+topg AS (SELECT g FROM g GROUP BY g ORDER BY count(*) DESC, g LIMIT 1),
+ts AS (SELECT string_split((SELECT g FROM topg), ' ') AS t),
+post AS (
+  SELECT doc_id AS id, i - 1 AS pos, w[i] AS term
+  FROM wtab, UNNEST(generate_series(1, len(w))) AS u(i)),
+m AS (
+  SELECT a.id
+  FROM post a JOIN post b ON b.id = a.id AND b.pos = a.pos + 1
+  WHERE a.term = (SELECT t[1] FROM ts) AND b.term = (SELECT t[2] FROM ts))
+SELECT id AS doc_id, (SELECT g FROM topg) AS phrase, count(*) AS n_occ
+FROM m GROUP BY 1
+"""
+
+
 # --- deterministic epoch shuffle (P50) -------------------------------------
 
 def q135_epoch_shuffle(spark, sf):
@@ -1747,6 +1795,7 @@ QUERIES = {
     "q132_perplexity_bands": q132_perplexity_bands,
     "q133_data_budget": q133_data_budget,
     "q135_epoch_shuffle": q135_epoch_shuffle,
+    "q137_phrase_search": q137_phrase_search,
 }
 
 ORACLE = {
@@ -1777,4 +1826,5 @@ ORACLE = {
     "q132_perplexity_bands": SQL132,
     "q133_data_budget": SQL133,
     "q135_epoch_shuffle": SQL135,
+    "q137_phrase_search": SQL137,
 }

@@ -74,6 +74,32 @@ def test_hits_matches_reference(spark):
     assert got["c"][1] > got["e"][1]  # c is heavily linked-to, e never
 
 
+def test_bfs_distances_match_reference(spark):
+    edges_df, e = _edges(spark)
+    seeds = spark.createDataFrame([("e",), ("f",)], "id string")
+    got = {r["id"]: r["dist"] for r in graph.bfs_distances(edges_df, seeds).collect()}
+
+    # level-synchronous BFS twin
+    adj = {}
+    for s, d in sorted(set(e)):
+        adj.setdefault(s, []).append(d)
+    dist = {"e": 0, "f": 0}
+    frontier = ["e", "f"]
+    k = 0
+    while frontier:
+        k += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = k
+                    nxt.append(v)
+        frontier = sorted(set(nxt))
+    assert got == dist
+    # spot-check the hand-derivable facts: a/d one hop, g via c at 3
+    assert got["a"] == 1 and got["d"] == 1 and got["g"] == 3
+
+
 def test_connected_components_matches_union_find(spark):
     pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4), (40, 41)]
     pdf = spark.createDataFrame(pairs, "i long, j long")
