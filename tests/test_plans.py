@@ -446,3 +446,45 @@ def test_bpe_apply_plan_is_vocab_sided(spark):
     # column, not the raw text scan output
     seg = p.split("replace")[0]
     assert seg.count("HashAggregate") >= 1
+
+
+def test_epoch_shuffle_plan_jvm_only(spark):
+    """P50 (q135): the shuffle-key derivation and per-epoch rank are
+    pure JVM — no Python stages, no cartesian products; the explode
+    is a narrow Generate above the scan."""
+    from crawlspark.operators.textstats import epoch_shuffle
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(epoch_shuffle(df, "doc_id", n_epochs=4))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate" in p and "Window" in p
+
+
+def test_phrase_search_filters_postings_before_join(spark):
+    """P52 (q137): each phrase term must prune the postings to ONE
+    term's list BEFORE the positional join — the plan shows term
+    equality filters below the join, no Python, no cartesian."""
+    from crawlspark.operators.textstats import phrase_occurrences, positional_index
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    post = positional_index(df, "doc_id", "text")
+    p = plan_of(phrase_occurrences(post, ["alpha", "beta"]))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # both single-term filters exist as plan predicates
+    assert p.count("= alpha") >= 1 and p.count("= beta") >= 1
+
+
+def test_prefix_filter_no_cartesian_and_partial_agg(spark):
+    """P49 (q134): candidate generation is an equi-join on the shingle
+    key (plus size inequality) — never a cartesian product — and the
+    df/size tables are partial-aggregated HashAggregates."""
+    from crawlspark.operators import dedup
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    sh = dedup.shingle_table(df, "doc_id", "text", k=2)
+    p = plan_of(dedup.prefix_filter_candidates(sh, t_num=3, t_den=5))
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "HashAggregate" in p
