@@ -433,3 +433,55 @@ def quantized_topk(
             F.round("cos8", 6).alias("cos8"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame, n_cells: int = 16, tau: float = 0.42,
+    sample_per_cell: int = 24, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """P54 SemDeDup (Abbas et al. 2023): embedding-space semantic
+    deduplication — cluster the corpus with the IVF coarse quantizer,
+    then within each cluster drop every vector that has a semantic
+    duplicate (cosine >= tau) with a smaller id; the minimum-id member
+    of each duplicate group survives. Catches paraphrases and
+    re-renderings that token-level MinHash/SimHash (P3/P5) miss,
+    because the match happens in embedding space.
+
+    Scale shape: pairs are formed ONLY within a cell (join on `cell`,
+    never all-pairs) — with n_cells grown proportionally to the corpus
+    the per-cell population stays bounded, which is exactly the
+    SemDeDup paper's k-means-then-local-pairs posture. The quantizer
+    training is the bit-exact replayable :func:`ivf_centroids`
+    (md5-seeded cells, bounded id-ordered sample-mean folds), and the
+    pair cosine is the sequential-fold :func:`cosine`, so the DuckDB
+    oracle hash-compares the full output including the float scores.
+
+    Output: one row per input vector — (id, cell, keep); keep=false
+    iff some smaller-id vector in the same cell has cos >= tau.
+    """
+    cents = ivf_centroids(
+        emb, n_cells, sample_per_cell, id_col, vec_col, dim, refine_rounds=1
+    )
+    a = ivf_assign(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        cents, n_probe=1, id_col="id", vec_col="v",
+    ).localCheckpoint(eager=False)  # assignment feeds both pair sides
+    lo = a.select("cell", F.col("id").alias("jd"), F.col("v").alias("jv"))
+    dup = (
+        a.join(lo, "cell")
+        .filter(F.col("jd") < F.col("id"))
+        .withColumn("cos", cosine(F.col("v"), F.col("jv")))
+        .filter(F.col("cos") >= tau)
+        .select("id")
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        a.join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -1021,3 +1021,147 @@ def stride_chunks(
             F.array_join(F.slice("w", F.col("tok_start"), F.col("n_chunk_tokens")), "_")
         ).alias("chunk_sig"),
     )
+
+
+def dsir_weights(
+    df: DataFrame, id_col: str, text_col: str, target_pred: Column,
+    dims: int = 512,
+) -> DataFrame:
+    """P55 DSIR-style data selection with importance resampling (Xie
+    et al. 2023): score every corpus document by how target-like its
+    hashed n-gram profile is, using two bucket models estimated from
+    the SAME feature stream — a target model over the rows where
+    `target_pred` holds and a corpus model over everything. Docs with
+    dsir_score > 1 look more like the target domain than like the
+    corpus average; `keep` is that selection.
+
+    Exactness (the q48 discipline): bucket probabilities stay RATIONAL
+    (count+1)/(N+B) — no log-likelihoods, whose libm last-ulp differs
+    between engines — and the per-doc score is the ratio of two
+    mean smoothed probabilities evaluated as exact long sums divided
+    once:  dsir = [Σ_b c_db·(t_b+1)]·(N_C+B) / ([Σ_b c_db·(c_b+1)]·(N_T+B)).
+    Integer sums partial-aggregate freely on both engines; the only
+    float op is one multiply+divide per doc in a fixed shape, and the
+    keep decision compares the two long products exactly (no float at
+    all). At 10^12-token scale the products approach 2^63 — there the
+    comparison moves to the double ratio and the score is a rounded
+    estimate; at driver scale everything is exact.
+
+    Scale shape: one corpus scan into per-(doc, bucket) counts (the
+    single data-sized shuffle); both models derive from THAT table by
+    partial-agg groupBys (dims rows each — broadcast-sized); the score
+    join is per-doc-bucket × dims-sized build side (AQE broadcasts);
+    the final rollup is a long-sum groupBy(id).
+
+    Output: (id, n_feats, dsir_score, keep).
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            target_pred.alias("is_t"),
+            words(text_col).alias("w"),
+        )
+        .select(
+            "id", "is_t",
+            F.explode(F.concat(F.col("w"), shingles(F.col("w"), 2))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    per = (
+        toks.withColumn("b", F.pmod(md5hash60("tok"), F.lit(dims)))
+        .groupBy("id", "is_t", "b")
+        .agg(F.count("*").cast("long").alias("c_db"))
+    )
+    cmod = per.groupBy("b").agg(F.sum("c_db").alias("c_b"))
+    tmod = per.filter(F.col("is_t")).groupBy("b").agg(F.sum("c_db").alias("t_b"))
+    s = per.agg(
+        F.sum("c_db").alias("n_c"),
+        F.sum(F.when(F.col("is_t"), F.col("c_db")).otherwise(F.lit(0))).alias("n_t"),
+    ).collect()[0]
+    ncb = int(s["n_c"]) + dims  # N_C + B, exact
+    ntb = int(s["n_t"] or 0) + dims  # N_T + B, exact
+    agg = (
+        per.join(cmod, "b")
+        .join(tmod, "b", "left")
+        .withColumn("t_b", F.coalesce(F.col("t_b"), F.lit(0).cast("long")))
+        .groupBy("id")
+        .agg(
+            F.sum("c_db").alias("n_feats"),
+            F.sum(F.col("c_db") * (F.col("t_b") + 1)).alias("_num"),
+            F.sum(F.col("c_db") * (F.col("c_b") + 1)).alias("_den"),
+        )
+    )
+    return agg.select(
+        "id",
+        "n_feats",
+        F.round(
+            (F.col("_num").cast("double") * F.lit(float(ncb)))
+            / (F.col("_den").cast("double") * F.lit(float(ntb))),
+            6,
+        ).alias("dsir_score"),
+        (F.col("_num") * F.lit(ncb) > F.col("_den") * F.lit(ntb)).alias("keep"),
+    )
+
+
+def html_to_text(col: Column) -> Column:
+    """P56 HTML→text extraction (the trafilatura/resiliparse step every
+    web-corpus pipeline runs between fetch and filtering): drop
+    script/style subtrees, turn block-level closers into line breaks,
+    strip remaining tags, decode the common entities, then trim and
+    space-collapse each line and drop empties. Output is
+    newline-joined cleaned lines — the unit the line-level quality
+    rules (:func:`line_quality_filter`) operate on.
+
+    Pure JVM regexp/replace column math — narrow, zero shuffles,
+    linear in corpus bytes. Patterns live in the Java∩RE2∩DuckDB
+    regex subset (no lookaround/backrefs) so the oracle replays the
+    byte-exact result."""
+    c = F.regexp_replace(col, r"<script[^>]*>[^<]*</script>", " ")
+    c = F.regexp_replace(c, r"<style[^>]*>[^<]*</style>", " ")
+    c = F.regexp_replace(
+        c, r"</(title|p|div|nav|footer|h1|h2|h3|li|ul|ol|tr|table)>", "\n"
+    )
+    c = F.regexp_replace(c, r"<br[ /]*>", "\n")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    lines = F.filter(
+        F.transform(
+            F.split(c, "\n"),
+            lambda l: F.trim(F.regexp_replace(l, " +", " ")),
+        ),
+        lambda l: l != "",
+    )
+    return F.array_join(lines, "\n")
+
+
+def line_quality_filter(
+    df: DataFrame, id_col: str, text_col: str, min_words: int = 5
+) -> DataFrame:
+    """P57 line-level quality filtering (the C4/RefinedWeb line rules):
+    drop boilerplate LINES — too few words, navigation separators
+    ('|'), copyright marks — and keep the prose. Operates on the
+    newline-joined output of :func:`html_to_text`; document-level
+    filters (q41/q123) can't remove a nav bar glued to good prose,
+    which is exactly what this pass is for.
+
+    Pure higher-order array column math — narrow, zero shuffles. The
+    rules are deliberately the deterministic subset (word count,
+    substring membership, prefix) so the DuckDB list-lambda twin
+    replays the byte-exact kept text.
+
+    Output: (id, main_text, n_lines, n_kept)."""
+    lines = F.split(F.col(text_col), "\n")
+    keep_l = F.filter(
+        lines,
+        lambda l: (F.size(F.split(l, " ")) >= min_words)
+        & ~l.contains("|")
+        & ~l.startswith("(c)"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(keep_l, "\n").alias("main_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(keep_l).cast("long").alias("n_kept"),
+    )

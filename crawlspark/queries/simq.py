@@ -390,6 +390,56 @@ FROM r WHERE rnk <= 3
 """
 
 
+# --- embedding-space semantic dedup (P54) ---------------------------------
+
+def q139_semantic_dedup(spark, sf):
+    """P54 SemDeDup (operators/similarity.semantic_dedup): IVF-cell
+    clustering of the WHOLE embeddings table, then within-cell
+    duplicate suppression at cos >= 0.42 (the q57-calibrated
+    threshold) keeping each duplicate group's minimum id. Pairs form
+    only inside a cell — never all-pairs — and the quantizer training
+    replays bit-exactly in the oracle (the q64 discipline), so
+    (vec_id, cell, keep) hash-compares including the float verify."""
+    return similarity.semantic_dedup(
+        T(spark, sf, "embeddings"), n_cells=16, tau=0.42,
+        sample_per_cell=24, dim=64,
+    )
+
+
+SQL139 = f"""
+WITH corpus AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v,
+         CAST(({_H("'ivf_' || CAST(vec_id AS VARCHAR)")} % 16) AS INT) AS cell
+  FROM embeddings),
+{_MEANS('corpus', 'cent0')},
+rescore AS (
+  SELECT b.id, b.v, c.cell,
+         row_number() OVER (
+           PARTITION BY b.id
+           ORDER BY ({_CENT_COS.format(a='b.v', b='c.centroid')}) DESC, c.cell ASC
+         ) AS crnk
+  FROM corpus b CROSS JOIN cent0 c),
+reassigned AS (SELECT id, v, cell FROM rescore WHERE crnk = 1),
+{_MEANS('reassigned', 'cent')},
+ascore AS (
+  SELECT b.id, b.v, c.cell,
+         row_number() OVER (
+           PARTITION BY b.id
+           ORDER BY ({_CENT_COS.format(a='b.v', b='c.centroid')}) DESC, c.cell ASC
+         ) AS crnk
+  FROM corpus b CROSS JOIN cent c),
+assigned AS (SELECT id, v, cell FROM ascore WHERE crnk = 1),
+dup AS (
+  SELECT DISTINCT a.id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.id < a.id
+  WHERE ({_dot('a.v', 'b.v')}
+         / (sqrt({_dot('a.v', 'a.v')}) * sqrt({_dot('b.v', 'b.v')}))) >= 0.42)
+SELECT a.id AS vec_id, a.cell, (d.id IS NULL) AS keep
+FROM assigned a LEFT JOIN dup d ON a.id = d.id
+"""
+
+
 QUERIES = {
     "q57_embed_near_dups": q57_embed_near_dups,
     "q60_cosine_topk": q60_cosine_topk,
@@ -398,6 +448,7 @@ QUERIES = {
     "q63_ann_banded": q63_ann_banded,
     "q64_ann_ivf": q64_ann_ivf,
     "q105_quantized_topk": q105_quantized_topk,
+    "q139_semantic_dedup": q139_semantic_dedup,
 }
 
 ORACLE = {
@@ -408,4 +459,5 @@ ORACLE = {
     "q63_ann_banded": SQL63,
     "q64_ann_ivf": SQL64,
     "q105_quantized_topk": SQL105,
+    "q139_semantic_dedup": SQL139,
 }

@@ -1761,6 +1761,191 @@ FROM k
 """
 
 
+# --- HTML→text extraction + line-level quality filtering (P56/P57) ---------
+
+def _page_expr():
+    """Deterministic HTML page per document — title/script/nav/h1/
+    footer boilerplate around the doc text, with entities — the input
+    a fetcher would hand the extraction pass. Built in-query (the q100
+    WARC pattern) so both engines see identical bytes."""
+    return F.concat(
+        F.lit('<html><head><title>'), F.col("source"),
+        F.lit(' &amp; co</title><script type="text/javascript">var n=1;'
+              '</script></head><body><nav>Home | About &amp; Contact</nav>'
+              '<h1>'),
+        F.col("source"), F.lit(" doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><br/><footer>(c) 2026 "), F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+
+
+_PAGE_SQL = (
+    "'<html><head><title>' || source || ' &amp; co</title>"
+    "<script type=\"text/javascript\">var n=1;</script></head>"
+    "<body><nav>Home | About &amp; Contact</nav>"
+    "<h1>' || source || ' doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' "
+    "|| text || '</p><br/><footer>(c) 2026 ' || source "
+    "|| '</footer></body></html>'"
+)
+
+# the DuckDB twin of textstats.html_to_text — same regex chain, same
+# entity decode, same per-line trim/collapse/drop-empty
+_EXTRACT_SQL = """
+  list_aggregate(
+    list_filter(
+      list_transform(
+        string_split(
+          replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace({page}, '<script[^>]*>[^<]*</script>', ' ', 'g'),
+                    '<style[^>]*>[^<]*</style>', ' ', 'g'),
+                  '</(title|p|div|nav|footer|h1|h2|h3|li|ul|ol|tr|table)>', e'\\n', 'g'),
+                '<br[ /]*>', e'\\n', 'g'),
+              '<[^>]*>', ' ', 'g'),
+            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', e'\\''),
+          e'\\n'),
+        l -> trim(regexp_replace(l, ' +', ' ', 'g'))),
+      l -> l != ''),
+    'string_agg', e'\\n')
+"""
+
+
+def q141_html_extract(spark, sf):
+    """P56 HTML→text extraction (operators/textstats.html_to_text):
+    each document wrapped in a deterministic page (title, script, nav,
+    h1, entities, footer) and recovered as cleaned newline-joined
+    lines — byte-hash-checked against the DuckDB regex twin. Narrow,
+    zero shuffles, linear in corpus bytes."""
+    d = T(spark, sf, "documents")
+    ext = textstats.html_to_text(_page_expr())
+    return d.select(
+        "doc_id",
+        ext.alias("page_text"),
+        F.size(F.split(ext, "\n")).cast("long").alias("n_lines"),
+    )
+
+
+SQL141 = f"""
+WITH e AS (
+  SELECT doc_id, ({_EXTRACT_SQL.format(page=_PAGE_SQL)}) AS page_text
+  FROM documents)
+SELECT doc_id, page_text,
+       CAST(len(string_split(page_text, e'\\n')) AS BIGINT) AS n_lines
+FROM e
+"""
+
+
+def q142_line_filter(spark, sf):
+    """P57 line-level quality filtering
+    (operators/textstats.line_quality_filter) composed on P56: the
+    C4/RefinedWeb line rules (≥5 words, no '|' separators, no
+    copyright marks) strip the page boilerplate lines and recover the
+    original document text — `recovered` asserts main_text ==
+    trim(text) per doc, so a single wrong byte in either operator
+    shifts the hash."""
+    d = T(spark, sf, "documents")
+    ext = d.select(
+        "doc_id", F.trim("text").alias("_orig"),
+        textstats.html_to_text(_page_expr()).alias("page_text"),
+    )
+    out = textstats.line_quality_filter(ext, "doc_id", "page_text", min_words=5)
+    return (
+        out.join(ext.select("doc_id", "_orig"),
+                 out["id"] == F.col("doc_id")).select(
+            "doc_id", "main_text", "n_lines", "n_kept",
+            (F.col("main_text") == F.col("_orig")).alias("recovered"),
+        )
+    )
+
+
+SQL142 = f"""
+WITH e AS (
+  SELECT doc_id, trim(text) AS orig,
+         string_split(({_EXTRACT_SQL.format(page=_PAGE_SQL)}), e'\\n') AS lines
+  FROM documents),
+k AS (
+  SELECT doc_id, orig, lines,
+         list_filter(lines,
+                     l -> len(string_split(l, ' ')) >= 5
+                          AND NOT contains(l, '|')
+                          AND NOT starts_with(l, '(c)')) AS kept
+  FROM e)
+SELECT doc_id,
+       list_aggregate(kept, 'string_agg', e'\\n') AS main_text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       (list_aggregate(kept, 'string_agg', e'\\n') = orig) AS recovered
+FROM k
+"""
+
+
+# --- DSIR importance resampling (P55) --------------------------------------
+
+_Q140_DIMS = 512
+
+
+def q140_dsir_importance(spark, sf):
+    """P55 DSIR-style importance selection
+    (operators/textstats.dsir_weights): hashed unigram+bigram bucket
+    models for the target domain (source = 'src0') and the whole
+    corpus, per-doc importance = ratio of mean smoothed target- to
+    corpus-probability — rational arithmetic throughout (the q48
+    no-libm discipline), keep decided by exact long comparison."""
+    d = T(spark, sf, "documents")
+    return textstats.dsir_weights(
+        d, "doc_id", "text", F.col("source") == "src0", dims=_Q140_DIMS
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _q140_sql() -> str:
+    dims = _Q140_DIMS
+    return f"""
+WITH d AS (SELECT doc_id AS id, (source = 'src0') AS is_t,
+                  string_split(trim(text), ' ') AS w
+           FROM documents),
+toks AS (
+  SELECT id, is_t, tok FROM (
+    SELECT id, is_t, unnest(w) AS tok FROM d
+    UNION ALL
+    SELECT id, is_t, (w[i] || '_' || w[i+1]) AS tok
+    FROM d, UNNEST(generate_series(1, len(w) - 1)) AS u(i))
+  WHERE tok != ''),
+per AS (
+  SELECT id, is_t, ({_H("tok")} % {dims}) AS b,
+         CAST(count(*) AS BIGINT) AS c_db
+  FROM toks GROUP BY 1, 2, 3),
+cmod AS (SELECT b, CAST(sum(c_db) AS BIGINT) AS c_b FROM per GROUP BY b),
+tmod AS (SELECT b, CAST(sum(c_db) AS BIGINT) AS t_b
+         FROM per WHERE is_t GROUP BY b),
+scal AS (
+  SELECT CAST(sum(c_db) AS BIGINT) + {dims} AS ncb,
+         CAST(sum(CASE WHEN is_t THEN c_db ELSE 0 END) AS BIGINT) + {dims} AS ntb
+  FROM per),
+agg AS (
+  SELECT id,
+         CAST(sum(c_db) AS BIGINT) AS n_feats,
+         CAST(sum(c_db * (COALESCE(t_b, 0) + 1)) AS BIGINT) AS num,
+         CAST(sum(c_db * (c_b + 1)) AS BIGINT) AS den
+  FROM per
+  JOIN cmod USING (b)
+  LEFT JOIN tmod USING (b)
+  GROUP BY id)
+SELECT id AS doc_id, n_feats,
+       round((CAST(num AS DOUBLE) * CAST(ncb AS DOUBLE))
+             / (CAST(den AS DOUBLE) * CAST(ntb AS DOUBLE)), 6) AS dsir_score,
+       (num * ncb > den * ntb) AS keep
+FROM agg, scal
+"""
+
+
+SQL140 = _q140_sql()
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_quality": q41_quality,
@@ -1796,6 +1981,9 @@ QUERIES = {
     "q133_data_budget": q133_data_budget,
     "q135_epoch_shuffle": q135_epoch_shuffle,
     "q137_phrase_search": q137_phrase_search,
+    "q140_dsir_importance": q140_dsir_importance,
+    "q141_html_extract": q141_html_extract,
+    "q142_line_filter": q142_line_filter,
 }
 
 ORACLE = {
@@ -1827,4 +2015,7 @@ ORACLE = {
     "q133_data_budget": SQL133,
     "q135_epoch_shuffle": SQL135,
     "q137_phrase_search": SQL137,
+    "q140_dsir_importance": SQL140,
+    "q141_html_extract": SQL141,
+    "q142_line_filter": SQL142,
 }
