@@ -426,6 +426,23 @@ class CrawlEngine:
             return {"cycle": c, "scheduled": 0, "deduped": 0, "discovered": 0,
                     "wall_ms": int((time.time() - t0) * 1000), "stop": True}
         docs_ok = docs.filter(F.col("ok") & F.col("redirect_to").isNull())
+        if g.meta_robots_every:
+            # C36 robots META directives, honored from the PARSED page
+            # bytes (one JVM regexp over the joined text spans — the
+            # refsim runs an independent Python parser over the same
+            # text): noindex → the attempt is logged and links extract,
+            # but the document is never stored; nofollow → stored, but
+            # its links vanish from discovery. Narrow column math on
+            # the cached fetch frame — no extra shuffle, flag-gated.
+            _mtxt = F.concat_ws(
+                " ", F.transform("spans", lambda s: s["text"])
+            )
+            _mdir = F.regexp_extract(
+                _mtxt, '<meta name="robots" content="([a-z,]+)">', 1
+            )
+            docs_ok = docs_ok.withColumn(
+                "_m_noindex", _mdir.contains("noindex")
+            ).withColumn("_m_nofollow", _mdir.contains("nofollow"))
         content_delta = None
         if g.content_dedup:
             # C35 content-seen test (Mercator-style): a successful
@@ -478,7 +495,11 @@ class CrawlEngine:
             ),
             "url_norm",
         ).persist()
-        links = fetch_ops.extract_links(docs_ok)
+        links = fetch_ops.extract_links(
+            docs_ok.filter(~F.col("_m_nofollow"))
+            if g.meta_robots_every
+            else docs_ok
+        )
         if g.redirect_every:
             # C24: a successful 301 is a terminal fetch of the alias;
             # its Location re-enters the discovery path at the SAME
@@ -721,11 +742,16 @@ class CrawlEngine:
                 ))
         if n_docs:
             new_docs = (
-                # under C35 docs_ok is already the content-novel subset
-                docs_ok if g.content_dedup else docs.filter(
-                    F.col("ok") & F.col("redirect_to").isNull()
-                )
-            ).select("doc_id", "fetch_cycle", "host", "spans")
+                # under C35/C36 docs_ok already carries the suppression
+                # state (content-novel subset / meta flags)
+                docs_ok
+                if (g.content_dedup or g.meta_robots_every)
+                else docs.filter(F.col("ok") & F.col("redirect_to").isNull())
+            )
+            if g.meta_robots_every:
+                # C36: noindex pages are fetched but never stored
+                new_docs = new_docs.filter(~F.col("_m_noindex"))
+            new_docs = new_docs.select("doc_id", "fetch_cycle", "host", "spans")
             if content_delta is not None:
                 writes.append(("append", "content_seen", content_delta, None))
             if g.conditional_fetch:

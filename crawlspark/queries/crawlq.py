@@ -984,6 +984,51 @@ def q131_content_seen(spark, sf):
     )
 
 
+def _engine_meta(spark) -> CrawlEngine:
+    """UNIT_META crawl: robots META directives on every 3rd
+    hash-picked page — noindex pages fetch but never store, nofollow
+    pages store but mint no links."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-meta"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_META
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_META, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q143_meta_robots(spark, sf):
+    """C36 through the driver's harness: with meta-robots honoring on,
+    nofollow pages mint no links — so later-cycle discovery (and the
+    FULL attempt order) measurably departs from the directive-free
+    twin and must match the refsim parsing the same page bytes with
+    an independent regex. Oracle: the UNIT_META refsim's q80 table."""
+    return _engine_meta(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
+def q144_meta_docs(spark, sf):
+    """C36's storage contract: the stored-document registry under
+    noindex suppression — fetched-but-noindex pages never land a row,
+    everything else does. Oracle: the UNIT_META refsim's q82 docs
+    table (doc counts, span counts, span signature)."""
+    d = _engine_meta(spark).documents()
+    return d.select(
+        "doc_id",
+        "fetch_cycle",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
+        md5hash60(F.to_json("spans")).alias("span_sig"),
+    )
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -1019,6 +1064,8 @@ QUERIES = {
     "q127_anchor_authority": q127_anchor_authority,
     "q130_content_dedup": q130_content_dedup,
     "q131_content_seen": q131_content_seen,
+    "q143_meta_robots": q143_meta_robots,
+    "q144_meta_docs": q144_meta_docs,
 }
 
 ORACLE: dict[str, str] = {}
@@ -1106,4 +1153,12 @@ def build_oracle() -> dict[str, str]:
     mirror_sql = build_crawl_oracles(UNIT_MIRROR)
     sql["q130_content_dedup"] = mirror_sql["q80_crawl_order"]
     sql["q131_content_seen"] = mirror_sql["q131_content_seen"]
+    # q143/q144: attempt order + stored-docs registry under C36
+    # meta-robots honoring (the refsim parses the directives from the
+    # same page bytes with an independent regex)
+    from ..synth import UNIT_META
+
+    meta_sql = build_crawl_oracles(UNIT_META)
+    sql["q143_meta_robots"] = meta_sql["q80_crawl_order"]
+    sql["q144_meta_docs"] = meta_sql["q82_crawl_docs"]
     return sql

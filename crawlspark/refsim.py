@@ -25,7 +25,8 @@ import re
 from dataclasses import dataclass, field
 from urllib.parse import urljoin, urlsplit
 
-from .synth import GraphConfig, extract_links_from_text, robots_allowed
+from .synth import (GraphConfig, extract_links_from_text,
+                    extract_meta_directive, robots_allowed)
 from .urlnorm import canonicalize_one
 
 
@@ -214,7 +215,22 @@ class RefSim:
                     if ckey in content_sigs:
                         continue
                     content_sigs.add(ckey)
-                if (
+                # C36 robots META directives: PARSED from the fetched
+                # bytes (not read from config — the engine runs its own
+                # JVM regexp over the same text, so this is a genuine
+                # two-parser differential). noindex → fetch logged,
+                # links extract, document NOT stored; nofollow →
+                # stored, links NOT extracted.
+                directive = (
+                    extract_meta_directive(
+                        " ".join(s["text"] for s in spans)
+                    )
+                    if cfg.meta_robots_every
+                    else ""
+                )
+                if "noindex" in directive:
+                    pass
+                elif (
                     cfg.conditional_fetch
                     and u in res.docs
                     and res.docs[u][1] == spans
@@ -228,10 +244,11 @@ class RefSim:
                 else:
                     res.docs[u] = (c, spans)
                     res.doc_log.append((u, c, spans))
-                for span in spans:
-                    if span["kind"] == "text":
-                        for raw in extract_links_from_text(span["text"]):
-                            admit(raw, depth + 1, c, base=u)
+                if "nofollow" not in directive:
+                    for span in spans:
+                        if span["kind"] == "text":
+                            for raw in extract_links_from_text(span["text"]):
+                                admit(raw, depth + 1, c, base=u)
             res.cycles.append(
                 (c, urls_in, len(cyc_cands) - cyc_novel, len(batch), n_docs)
             )

@@ -170,6 +170,17 @@ class GraphConfig:
     # the SAME url would suppress itself by design.)
     mirror_every: int = 0
     content_dedup: bool = False
+    # C36 (robots META directives): meta_robots_every > 0 makes every
+    # Nth hash-picked regular page (j > 0 — seeds stay clean so every
+    # site enters the crawl) carry a
+    # `<meta name="robots" content="...">` tag in its body text, with
+    # the directive hash-chosen among noindex / nofollow /
+    # noindex,nofollow. The ENGINE must honor what it PARSES from the
+    # fetched bytes: noindex → the fetch is logged and links extract,
+    # but the document is NOT stored; nofollow → stored, but its links
+    # are NOT extracted (they vanish from discovery). Off by default:
+    # every existing graph is byte-identical.
+    meta_robots_every: int = 0
     # C13 extension (anchor text): when on, every regular-page outlink
     # renders as `href="URL">anc… terms</a>` — 1-3 deterministic anchor
     # terms per link. Link EXTRACTION is unchanged (the shared href
@@ -357,6 +368,17 @@ class GraphConfig:
 
     def page_is_private(self, i: int, j: int) -> bool:
         return j > 0 and h64(self.seed, "priv", i, j) % 5 == 0
+
+    def meta_directive(self, i: int, j: int) -> str | None:
+        """C36: the robots meta directive this page carries, or None.
+        Seeds (j == 0) never carry one so every site still enters the
+        crawl; the directive kind is hash-chosen per page."""
+        if not self.meta_robots_every or j <= 0:
+            return None
+        if h64(self.seed, "meta", i, j) % self.meta_robots_every != 0:
+            return None
+        kinds = ("noindex", "nofollow", "noindex,nofollow")
+        return kinds[h64(self.seed, "metak", i, j) % 3]
 
     def page_path(self, i: int, j: int) -> str:
         return (f"/private/p{j}" if self.page_is_private(i, j) else f"/p{j}")
@@ -621,6 +643,13 @@ class GraphConfig:
             body += f" rev{rev} " + " ".join(
                 f"v{h64(self.seed, 'revw', i, j, rev, w) % 997}" for w in range(2)
             )
+        directive = self.meta_directive(i, j)
+        if directive:
+            # C36: the robots meta tag rides the body text; the shared
+            # href/<loc> extraction regex never captures it, so link
+            # extraction is unchanged — only the engine's meta PARSER
+            # (and the refsim's twin) reacts to it
+            body = f'<meta name="robots" content="{directive}"> ' + body
         spans = [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
         offset = len(body) + 1
         n_extra = h64(self.seed, "nspan", i, j) % 4
@@ -694,6 +723,18 @@ def extract_anchors_from_text(text: str) -> list[tuple[str, str]]:
     passes over ANCHOR_PATTERN (group 1 / group 2) zipped by position
     — position-stable because both passes walk the same matches."""
     return _ANCHOR.findall(text)
+
+
+_META_ROBOTS = re.compile(r'<meta name="robots" content="([a-z,]+)">')
+
+
+def extract_meta_directive(text: str) -> str:
+    """C36 shared parse: the page's robots meta directive ('' when
+    absent). The refsim calls this over the joined text spans; the
+    engine mirrors it with one JVM regexp_extract over the same
+    pattern — two independent parsers of the same bytes."""
+    m = _META_ROBOTS.search(text)
+    return m.group(1) if m else ""
 
 
 def robots_allowed(path: str, rules: list[dict]) -> bool:
@@ -838,6 +879,12 @@ UNIT_DOMGROUP = GraphConfig(n_sites=6, max_pages=40, batch_size=12,
 # discoveries), which is exactly the contract q115 checks.
 UNIT_AGING = GraphConfig(n_sites=6, max_pages=40, batch_size=8,
                          max_cycles=8, priority_aging_every=2)
+# C36 meta-robots directives on every 3rd hash-picked page: noindex
+# pages fetch but never store, nofollow pages store but mint no links
+# — both measurably change the stored-doc registry and (via vanished
+# links) the later-cycle attempt order vs the directive-free twin
+UNIT_META = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                        max_cycles=6, meta_robots_every=3)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,
