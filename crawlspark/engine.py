@@ -443,6 +443,26 @@ class CrawlEngine:
             docs_ok = docs_ok.withColumn(
                 "_m_noindex", _mdir.contains("noindex")
             ).withColumn("_m_nofollow", _mdir.contains("nofollow"))
+        if g.canonical_every:
+            # C37 rel=canonical aliasing, honored from the PARSED page
+            # bytes (the refsim runs an independent Python parser over
+            # the same text): a page declaring a DIFFERENT canonical is
+            # a duplicate-URL variant — its fetch is logged and links
+            # extract, but no document is stored under the variant; the
+            # canonical target re-enters discovery at the SAME depth,
+            # ordered before this slot's links (the C24 redirect
+            # discipline), and the hop lands in `canonicals`. Narrow
+            # column math on the cached fetch frame, flag-gated.
+            _ctxt = F.concat_ws(
+                " ", F.transform("spans", lambda s: s["text"])
+            )
+            _canon = F.regexp_extract(
+                _ctxt, '<link rel="canonical" href="([^"]+)">', 1
+            )
+            docs_ok = docs_ok.withColumn("_c_canon", _canon).withColumn(
+                "_c_alias",
+                (F.col("_c_canon") != "") & (F.col("_c_canon") != F.col("doc_id")),
+            )
         content_delta = None
         if g.content_dedup:
             # C35 content-seen test (Mercator-style): a successful
@@ -518,6 +538,21 @@ class CrawlEngine:
                 F.col("redirect_to").alias("raw_url"),
             )
             links = links.unionByName(redir_hops)
+        if g.canonical_every:
+            # C37: the declared canonical re-enters discovery at the
+            # variant's depth, at (batch_pos, -1, -1) — ahead of the
+            # slot's body links (which include the declaration's own
+            # href at link_pos 0), so within-batch dedup keeps the
+            # SAME-DEPTH alias admission on both engines.
+            canon_hops = docs_ok.filter(F.col("_c_alias")).select(
+                "doc_id",
+                (F.col("depth") - 1).cast("int").alias("depth"),
+                "batch_pos",
+                F.lit(-1).alias("span_pos"),
+                F.lit(-1).alias("link_pos"),
+                F.col("_c_canon").alias("raw_url"),
+            )
+            links = links.unionByName(canon_hops)
         # resolve relative hrefs against the fetching doc (urljoin
         # semantics), then canonicalize — one Arrow pass (C13 → C1)
         cand = (
@@ -742,15 +777,20 @@ class CrawlEngine:
                 ))
         if n_docs:
             new_docs = (
-                # under C35/C36 docs_ok already carries the suppression
-                # state (content-novel subset / meta flags)
+                # under C35/C36/C37 docs_ok already carries the
+                # suppression state (content-novel subset / meta flags /
+                # canonical-alias flags)
                 docs_ok
-                if (g.content_dedup or g.meta_robots_every)
+                if (g.content_dedup or g.meta_robots_every or g.canonical_every)
                 else docs.filter(F.col("ok") & F.col("redirect_to").isNull())
             )
             if g.meta_robots_every:
                 # C36: noindex pages are fetched but never stored
                 new_docs = new_docs.filter(~F.col("_m_noindex"))
+            if g.canonical_every:
+                # C37: canonical-alias variants are fetched but never
+                # stored — the canonical page owns the content
+                new_docs = new_docs.filter(~F.col("_c_alias"))
             new_docs = new_docs.select("doc_id", "fetch_cycle", "host", "spans")
             if content_delta is not None:
                 writes.append(("append", "content_seen", content_delta, None))
@@ -784,6 +824,19 @@ class CrawlEngine:
                     .select("doc_id", "fetch_cycle", "host", "spans")
                 )
             writes.append(("append", "documents", new_docs, None))
+        if g.canonical_every:
+            # C37: record every honored rel=canonical hop (variant →
+            # declared canonical) — the duplicate-URL identity map;
+            # one narrow pass over the cached fetch frame
+            writes.append((
+                "append", "canonicals",
+                docs_ok.filter(F.col("_c_alias")).select(
+                    F.col("url_norm").alias("src"),
+                    F.col("_c_canon").alias("dst"),
+                    F.lit(c).cast("long").alias("cycle_id"),
+                ),
+                None,
+            ))
         if n_redir:
             # C24: record every successful hop (alias → canonical
             # Location) even when the target was already seen — the

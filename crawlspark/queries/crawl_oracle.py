@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig, extract_anchors_from_text
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 17
+_VERSION = 18
 
 
 def _md5_60(s: str) -> int:
@@ -230,6 +230,13 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
     q68 = [
         (src, dst, c, res.seen.get(dst, -1))
         for (src, dst, c) in res.redirects
+    ]
+    # q146: the rel=canonical alias map (C37) — same shape as q68:
+    # variant -> declared canonical, hop cycle, and whether/when the
+    # canonical entered the seen set (-1 = killed at admission)
+    q146 = [
+        (src, dst, c, res.seen.get(dst, -1))
+        for (src, dst, c) in res.canonicals
     ]
     # q71: per-doc version history from the freshness re-crawl (C25):
     # version count, distinct content signatures (changed iff > 1),
@@ -425,6 +432,11 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
             "src string, dst string, cycle_id int64, dst_first_cycle int64",
             q68,
         ),
+        "q146_canonicals": (
+            ["src", "dst", "cycle_id", "dst_first_cycle"],
+            "src string, dst string, cycle_id int64, dst_first_cycle int64",
+            q146,
+        ),
         "q71_revisit_versions": (
             ["doc_id", "n_versions", "n_distinct_sigs", "first_fetch",
              "last_fetch"],
@@ -496,7 +508,7 @@ _NAMES = [
     "q68_redirects", "q71_revisit_versions", "q72_change_rates",
     "q76_backoff", "q77_priority_feedback", "q102_media_dedup",
     "q126_anchor_text", "q127_anchor_authority", "q131_content_seen",
-    "q136_hits", "q138_link_distance",
+    "q136_hits", "q138_link_distance", "q146_canonicals",
 ]
 
 

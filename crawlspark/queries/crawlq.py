@@ -1029,6 +1029,54 @@ def q144_meta_docs(spark, sf):
     )
 
 
+def _engine_canon(spark) -> CrawlEngine:
+    """UNIT_CANON crawl: rel=canonical declarations on every 3rd
+    hash-picked page — variants fetch but never store; the declared
+    canonical enters discovery at the variant's depth."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-canon"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_CANON
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_CANON, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q145_canonical_order(spark, sf):
+    """C37 through the driver's harness: with rel=canonical honoring
+    on, declared canonicals enter discovery at the variant's depth
+    (ordered before the slot's links) and variants are never stored —
+    the FULL attempt order measurably departs from the
+    declaration-free twin and must match the refsim parsing the same
+    page bytes independently. Oracle: the UNIT_CANON refsim's q80."""
+    return _engine_canon(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
+def q146_canonicals(spark, sf):
+    """C37's identity map: every honored (variant → declared
+    canonical) hop, joined with whether/when the canonical entered the
+    seen set (-1 = killed at admission) — the q68 redirect-map shape
+    for the duplicate-URL collapse consumers. Oracle: the UNIT_CANON
+    refsim's canonicals log."""
+    eng = _engine_canon(spark)
+    cn = eng.cat.read("canonicals")
+    seen = eng.seen_set().select(
+        F.col("url_norm").alias("dst"), "first_cycle"
+    )
+    return cn.join(seen, "dst", "left").select(
+        "src", "dst", "cycle_id",
+        F.coalesce("first_cycle", F.lit(-1).cast("long")).alias("dst_first_cycle"),
+    )
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -1066,6 +1114,8 @@ QUERIES = {
     "q131_content_seen": q131_content_seen,
     "q143_meta_robots": q143_meta_robots,
     "q144_meta_docs": q144_meta_docs,
+    "q145_canonical_order": q145_canonical_order,
+    "q146_canonicals": q146_canonicals,
 }
 
 ORACLE: dict[str, str] = {}
@@ -1161,4 +1211,12 @@ def build_oracle() -> dict[str, str]:
     meta_sql = build_crawl_oracles(UNIT_META)
     sql["q143_meta_robots"] = meta_sql["q80_crawl_order"]
     sql["q144_meta_docs"] = meta_sql["q82_crawl_docs"]
+    # q145/q146: attempt order + alias map under C37 rel=canonical
+    # honoring (the refsim parses the declarations from the same page
+    # bytes with an independent regex)
+    from ..synth import UNIT_CANON
+
+    canon_sql = build_crawl_oracles(UNIT_CANON)
+    sql["q145_canonical_order"] = canon_sql["q80_crawl_order"]
+    sql["q146_canonicals"] = canon_sql["q146_canonicals"]
     return sql

@@ -25,8 +25,9 @@ import re
 from dataclasses import dataclass, field
 from urllib.parse import urljoin, urlsplit
 
-from .synth import (GraphConfig, extract_links_from_text,
-                    extract_meta_directive, robots_allowed)
+from .synth import (GraphConfig, extract_canonical_from_text,
+                    extract_links_from_text, extract_meta_directive,
+                    robots_allowed)
 from .urlnorm import canonicalize_one
 
 
@@ -46,6 +47,9 @@ class RefSimResult:
     edges: list[tuple[str, str]] = field(default_factory=list)
     # C24: every successful 301 hop (alias, canonical target, cycle)
     redirects: list[tuple[str, str, int]] = field(default_factory=list)
+    # C37: every honored rel=canonical declaration (variant, canonical,
+    # cycle) — the URL-aliasing identity the duplicate-URL collapse reads
+    canonicals: list[tuple[str, str, int]] = field(default_factory=list)
     # per-cycle counters matching the engine's metrics rollup:
     # (cycle_id, urls_in, urls_deduped, urls_scheduled, docs_written)
     cycles: list[tuple[int, int, int, int, int]] = field(default_factory=list)
@@ -221,14 +225,26 @@ class RefSim:
                 # two-parser differential). noindex → fetch logged,
                 # links extract, document NOT stored; nofollow →
                 # stored, links NOT extracted.
+                joined = " ".join(s["text"] for s in spans)
                 directive = (
-                    extract_meta_directive(
-                        " ".join(s["text"] for s in spans)
-                    )
+                    extract_meta_directive(joined)
                     if cfg.meta_robots_every
                     else ""
                 )
-                if "noindex" in directive:
+                # C37 rel=canonical, PARSED from the fetched bytes: the
+                # variant is never stored; its declared canonical enters
+                # discovery at the SAME depth, before this slot's links
+                # (the C24 redirect ordering); links still extract.
+                canon = (
+                    extract_canonical_from_text(joined)
+                    if cfg.canonical_every
+                    else ""
+                )
+                is_alias = bool(canon) and canon != u
+                if is_alias:
+                    res.canonicals.append((u, canon, c))
+                    admit(canon, depth, c, base=u)
+                if is_alias or "noindex" in directive:
                     pass
                 elif (
                     cfg.conditional_fetch

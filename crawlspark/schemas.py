@@ -253,5 +253,7 @@ TABLE_SCHEMAS = {
     "fetch_log": FETCH_LOG,
     "pattern_counts": PATTERN_COUNTS,
     "redirects": REDIRECTS,
+    # C37 rel=canonical alias map — same (src, dst, cycle_id) shape
+    "canonicals": REDIRECTS,
     "metrics": METRICS,
 }

@@ -181,6 +181,21 @@ class GraphConfig:
     # are NOT extracted (they vanish from discovery). Off by default:
     # every existing graph is byte-identical.
     meta_robots_every: int = 0
+    # C37 (rel=canonical aliasing): canonical_every > 0 makes every
+    # Nth hash-picked regular page declare a DIFFERENT page of its
+    # site as canonical via `<link rel="canonical" href="U">`. The
+    # engine honors the parsed declaration the way production
+    # crawlers treat the canonical signal: the variant's fetch is
+    # logged and its links extract, but NO document is stored under
+    # the variant URL; the canonical target re-enters discovery at
+    # the SAME depth ordered before that slot's links (the C24
+    # redirect discipline); every (variant → canonical) hop lands in
+    # the append-only `canonicals` table. NOTE the declared href IS
+    # also captured by the shared link regex (it is an href= in the
+    # body) — by design: the alias admission at span_pos −1 always
+    # precedes it, so within-batch dedup keeps the same-depth entry,
+    # identically in engine and refsim. Off by default.
+    canonical_every: int = 0
     # C13 extension (anchor text): when on, every regular-page outlink
     # renders as `href="URL">anc… terms</a>` — 1-3 deterministic anchor
     # terms per link. Link EXTRACTION is unchanged (the shared href
@@ -368,6 +383,22 @@ class GraphConfig:
 
     def page_is_private(self, i: int, j: int) -> bool:
         return j > 0 and h64(self.seed, "priv", i, j) % 5 == 0
+
+    def canonical_target(self, i: int, j: int) -> str | None:
+        """C37: the canonical URL page (i, j) declares, or None.
+        Seeds (j == 0) never declare one; the target is a
+        deterministic OTHER page of the same site."""
+        if not self.canonical_every or j <= 0:
+            return None
+        if h64(self.seed, "canon", i, j) % self.canonical_every != 0:
+            return None
+        n = self.pages_in_site(i)
+        if n < 2:
+            return None
+        jt = h64(self.seed, "canont", i, j) % n
+        if jt == j:
+            jt = (jt + 1) % n
+        return self.page_url(i, jt)
 
     def meta_directive(self, i: int, j: int) -> str | None:
         """C36: the robots meta directive this page carries, or None.
@@ -643,6 +674,13 @@ class GraphConfig:
             body += f" rev{rev} " + " ".join(
                 f"v{h64(self.seed, 'revw', i, j, rev, w) % 997}" for w in range(2)
             )
+        canon = self.canonical_target(i, j)
+        if canon:
+            # C37: the canonical declaration rides the body text; its
+            # href IS captured by the shared link regex (documented on
+            # the knob) — the engine's canonical PARSER additionally
+            # reacts to the full tag
+            body = f'<link rel="canonical" href="{canon}"> ' + body
         directive = self.meta_directive(i, j)
         if directive:
             # C36: the robots meta tag rides the body text; the shared
@@ -726,6 +764,15 @@ def extract_anchors_from_text(text: str) -> list[tuple[str, str]]:
 
 
 _META_ROBOTS = re.compile(r'<meta name="robots" content="([a-z,]+)">')
+_CANONICAL = re.compile(r'<link rel="canonical" href="([^"]+)">')
+
+
+def extract_canonical_from_text(text: str) -> str:
+    """C37 shared parse: the page's declared canonical URL ('' when
+    absent). The refsim calls this; the engine mirrors it with one
+    JVM regexp_extract over the same pattern."""
+    m = _CANONICAL.search(text)
+    return m.group(1) if m else ""
 
 
 def extract_meta_directive(text: str) -> str:
@@ -885,6 +932,12 @@ UNIT_AGING = GraphConfig(n_sites=6, max_pages=40, batch_size=8,
 # links) the later-cycle attempt order vs the directive-free twin
 UNIT_META = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                         max_cycles=6, meta_robots_every=3)
+# C37 rel=canonical declarations on every 3rd hash-picked page: the
+# variant is fetched but never stored, the canonical target enters
+# discovery at the variant's depth — the alias map and the stored-doc
+# registry both measurably depart from the declaration-free twin
+UNIT_CANON = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                         max_cycles=6, canonical_every=3)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,
