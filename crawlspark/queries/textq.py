@@ -1884,6 +1884,43 @@ FROM k
 """
 
 
+# --- sort-clustered layout scan (R32) ---------------------------------------
+
+_Q147_DIR: dict[str, str] = {}
+
+
+def q147_clustered_scan(spark, sf):
+    """R32 (operators/bucketing.clustered_write): documents
+    range-clustered by doc_id into 8 parquet files, then a selective
+    doc_id range predicate scanned back — byte-identical data through
+    the clustered layout (the oracle reads the ORIGINAL table, so any
+    row lost/duplicated by the re-layout shifts the hash). The scale
+    property — non-overlapping per-file min/max, predicate touching
+    exactly one file — is pinned in tests/test_layout.py."""
+    import tempfile as _tf
+
+    from ..operators import bucketing
+
+    key = sf
+    if key not in _Q147_DIR:
+        out = _tf.mkdtemp(prefix="crawlspark-q147-") + "/docs_clustered"
+        bucketing.clustered_write(
+            T(spark, sf, "documents"), out, "doc_id", n_files=8
+        )
+        _Q147_DIR[key] = out
+    return (
+        spark.read.parquet(_Q147_DIR[key])
+        .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 160))
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+SQL147 = """
+SELECT doc_id, source, lang, n_chars
+FROM documents WHERE doc_id >= 100 AND doc_id < 160
+"""
+
+
 # --- DSIR importance resampling (P55) --------------------------------------
 
 _Q140_DIMS = 512
@@ -1984,6 +2021,7 @@ QUERIES = {
     "q140_dsir_importance": q140_dsir_importance,
     "q141_html_extract": q141_html_extract,
     "q142_line_filter": q142_line_filter,
+    "q147_clustered_scan": q147_clustered_scan,
 }
 
 ORACLE = {
@@ -2018,4 +2056,5 @@ ORACLE = {
     "q140_dsir_importance": SQL140,
     "q141_html_extract": SQL141,
     "q142_line_filter": SQL142,
+    "q147_clustered_scan": SQL147,
 }
