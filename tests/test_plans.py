@@ -488,3 +488,61 @@ def test_prefix_filter_no_cartesian_and_partial_agg(spark):
     assert "CartesianProduct" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "HashAggregate" in p
+
+
+def test_dsir_plan_jvm_partial_agg(spark):
+    """P55 DSIR (q140): zero Python stages; per-(doc,bucket) counts and
+    both bucket models are partial-aggregated HashAggregates, and the
+    final rollup is a long-sum groupBy(id) — no windows, no sorts of
+    data-scale frames."""
+    from crawlspark.operators.textstats import dsir_weights
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(dsir_weights(df, "doc_id", "text",
+                             F.col("source") == "src0", dims=64))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p and "Window" not in p
+
+
+def test_html_extract_and_line_filter_zero_shuffles(spark):
+    """P56/P57 (q141/q142): pure narrow column math — no Exchange, no
+    Python, linear in corpus bytes."""
+    from crawlspark.operators.textstats import html_to_text, line_quality_filter
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    ext = df.select(
+        "doc_id", html_to_text(F.col("text")).alias("t")
+    )
+    p = plan_of(line_quality_filter(ext, "doc_id", "t"))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_semantic_dedup_pairs_join_on_cell(spark):
+    """P54 SemDeDup (q139): the quantizer assignment is a broadcast
+    over the tiny centroid set and the duplicate pairs join strictly
+    on `cell` — never an unkeyed all-pairs product."""
+    from crawlspark.operators.similarity import semantic_dedup
+
+    from crawlspark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(semantic_dedup(emb, n_cells=8, dim=64))
+    assert "CartesianProduct" not in p
+    # the pair join is keyed (hash/sort-merge on cell), not a product
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+    # the assignment stage (behind the checkpoint boundary in the
+    # composed plan) broadcasts the tiny centroid set — the crossJoin
+    # is a BroadcastNestedLoopJoin, never a shuffled product
+    cents = ivf_centroids(emb, 8, 24, dim=64)
+    pa = plan_of(
+        ivf_assign(
+            emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+            cents, n_probe=1,
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in pa
+    assert "CartesianProduct" not in pa
