@@ -102,6 +102,17 @@ class EngineConfig:
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig):
+        if (
+            cfg.graph.pattern_budget is not None
+            and cfg.graph.host_page_budget is not None
+        ):
+            # C23 + C38: two composed declarative caps cannot reproduce
+            # the sequential joint accounting (a row one cap rejects
+            # must not consume the other cap's slot); the refsim
+            # refuses the combination identically
+            raise ValueError(
+                "pattern_budget and host_page_budget are not combinable"
+            )
         self.spark = spark
         self.cfg = cfg
         self.cat = Catalog(spark, cfg.warehouse)
@@ -278,6 +289,16 @@ class CrawlEngine:
         f0 = schedule.with_salt(f0, self.cfg.n_salt)
         f0 = f0.withColumn("depth", F.lit(0))
         f0 = politeness.scope_filter(f0, g)
+        if g.host_page_budget is not None:
+            # C38: seed admissions consume the host budget first, in
+            # seed-list order — the refsim's admit() caps seeds
+            # identically
+            w_hb = Window.partitionBy("host").orderBy("pos")
+            f0 = (
+                f0.withColumn("_hb", F.row_number().over(w_hb))
+                .filter(F.col("_hb") <= g.host_page_budget)
+                .drop("_hb")
+            )
         f0 = schedule.with_score(f0)
         # seed seq = seed-list position; rank distributed above ~64k
         # seeds (DESIGN-tier seed lists are 300k+ — same no-funnel
@@ -320,6 +341,12 @@ class CrawlEngine:
                 f0.groupBy("host", "path").agg(
                     F.count("*").cast("long").alias("n")
                 ),
+            )
+        if g.host_page_budget is not None:
+            # C38: seed admissions open each host's lifetime count
+            txn.append(
+                "host_admissions",
+                f0.groupBy("host").agg(F.count("*").cast("long").alias("n")),
             )
         txn.overwrite(self._sidecar_table, bloom0)
         txn.overwrite("host_state", hs0)
@@ -589,6 +616,24 @@ class CrawlEngine:
             novel_probed = schedule.pattern_cap(
                 novel_probed, prior, g.pattern_budget
             )
+        if g.host_page_budget is not None:
+            # C38 per-host lifetime page budget (Heritrix
+            # max-pages-per-host): cap lifetime frontier admissions per
+            # HOST — the site-budget control that stops one mega-host
+            # from owning the crawl. Same admission point, stay-unseen
+            # accounting, and two-phase salted cap as C23, keyed on
+            # host alone; counts are append-only deltas summed on read.
+            # Not combinable with pattern_budget (guarded in __init__):
+            # two composed declarative caps cannot reproduce the
+            # sequential joint accounting.
+            hprior = (
+                self.cat.read("host_admissions", snap)
+                .groupBy("host")
+                .agg(F.sum("n").alias("n_admitted"))
+            )
+            novel_probed = schedule.pattern_cap(
+                novel_probed, hprior, g.host_page_budget, keys=("host",)
+            )
         novel_probed = novel_probed.persist()
 
         # per-partition (host_salt) lineage + counters: one tagged union
@@ -771,6 +816,14 @@ class CrawlEngine:
                 writes.append((
                     "append", "pattern_counts",
                     novel_probed.groupBy("host", "path").agg(
+                        F.count("*").cast("long").alias("n")
+                    ),
+                    None,
+                ))
+            if g.host_page_budget is not None:
+                writes.append((
+                    "append", "host_admissions",
+                    novel_probed.groupBy("host").agg(
                         F.count("*").cast("long").alias("n")
                     ),
                     None,

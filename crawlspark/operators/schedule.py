@@ -194,7 +194,10 @@ def assign_seq(novel: DataFrame, base_seq: int, distributed: bool = False) -> Da
     return rank_seq(novel, base_seq, _SEQ_ORDER, distributed)
 
 
-def pattern_cap(novel: DataFrame, prior: DataFrame, budget: int) -> DataFrame:
+def pattern_cap(
+    novel: DataFrame, prior: DataFrame, budget: int,
+    keys: tuple[str, ...] = ("host", "path"),
+) -> DataFrame:
     """C23 crawler-trap guard: admit per (host, path) URL pattern only
     while lifetime admissions stay under ``budget``, first-discovered
     first (the refsim's sequential-admit order). Calendar pages,
@@ -213,12 +216,17 @@ def pattern_cap(novel: DataFrame, prior: DataFrame, budget: int) -> DataFrame:
     survivors. The prior join is a shuffle join on the pattern key
     (the pattern table outgrows a broadcast at web scale); hot
     patterns have exactly one build row, so skew sits on the probe
-    side where AQE splits it."""
-    df = novel.join(prior, ["host", "path"], "left").withColumn(
+    side where AQE splits it.
+
+    ``keys`` generalizes the budget scope: ("host",) gives C38's
+    per-host lifetime page budget (Heritrix max-pages-per-host) over
+    the same two-phase machinery."""
+    kl = list(keys)
+    df = novel.join(prior, kl, "left").withColumn(
         "_prior", F.coalesce(F.col("n_admitted"), F.lit(0))
     )
-    w1 = Window.partitionBy("host", "path", "host_salt").orderBy(*_SEQ_ORDER)
-    w2 = Window.partitionBy("host", "path").orderBy(*_SEQ_ORDER)
+    w1 = Window.partitionBy(*kl, "host_salt").orderBy(*_SEQ_ORDER)
+    w2 = Window.partitionBy(*kl).orderBy(*_SEQ_ORDER)
     return (
         df.withColumn("rn1", F.row_number().over(w1))
         .filter(F.col("rn1") + F.col("_prior") <= budget)

@@ -1077,6 +1077,50 @@ def q146_canonicals(spark, sf):
     )
 
 
+def _engine_hbudget(spark) -> CrawlEngine:
+    """UNIT_HBUDGET crawl: per-host lifetime page budget of 6 — the
+    mega-host pins at the cap, tail sites stay under it."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-hbudget"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_HBUDGET
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_HBUDGET, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q148_host_budget(spark, sf):
+    """C38 through the driver's harness: with a per-host lifetime page
+    budget, admissions beyond the cap stay unseen (they count as
+    deduped and never schedule), so the FULL attempt order measurably
+    departs from the uncapped twin and must match the refsim running
+    the identical sequential budget counter. Oracle: the UNIT_HBUDGET
+    refsim's q80 table."""
+    return _engine_hbudget(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
+def q149_host_admissions(spark, sf):
+    """C38's accounting: lifetime admissions per host from the
+    append-only host_admissions deltas (seeds + per-cycle novel) —
+    every host at or under the budget, the mega-host exactly AT it.
+    Oracle: per-host rollup of the refsim's seen set with the host
+    independently re-derived in SQL (the q67 discipline)."""
+    return (
+        _engine_hbudget(spark)
+        .cat.read("host_admissions")
+        .groupBy("host")
+        .agg(F.sum("n").alias("n_admitted"))
+    )
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -1116,6 +1160,8 @@ QUERIES = {
     "q144_meta_docs": q144_meta_docs,
     "q145_canonical_order": q145_canonical_order,
     "q146_canonicals": q146_canonicals,
+    "q148_host_budget": q148_host_budget,
+    "q149_host_admissions": q149_host_admissions,
 }
 
 ORACLE: dict[str, str] = {}
@@ -1219,4 +1265,18 @@ def build_oracle() -> dict[str, str]:
     canon_sql = build_crawl_oracles(UNIT_CANON)
     sql["q145_canonical_order"] = canon_sql["q80_crawl_order"]
     sql["q146_canonicals"] = canon_sql["q146_canonicals"]
+    # q148/q149: attempt order + per-host admission accounting under
+    # the C38 host page budget; q149's expectation is a pure-SQL
+    # rollup of the budgeted graph's seen set (admissions == seen
+    # insertions; host re-derived independently in SQL)
+    from ..synth import UNIT_HBUDGET
+
+    hb_sql = build_crawl_oracles(UNIT_HBUDGET)
+    sql["q148_host_budget"] = hb_sql["q80_crawl_order"]
+    q81_hb = hb_sql["q81_crawl_seen"].split("FROM ")[1]
+    sql["q149_host_admissions"] = (
+        "SELECT regexp_extract(url_norm, '^https?://([^/]+)', 1) AS host,"
+        " CAST(count(*) AS BIGINT) AS n_admitted"
+        f" FROM {q81_hb} GROUP BY 1"
+    )
     return sql

@@ -90,6 +90,13 @@ class RefSim:
         max_retries = cfg.max_retries
         budget = cfg.pattern_budget        # C23 trap guard (None = off)
         pat_admits: dict[tuple, int] = {}  # (host, path) -> admissions
+        host_admits: dict[str, int] = {}   # C38: host -> admissions
+        if cfg.pattern_budget is not None and cfg.host_page_budget is not None:
+            raise ValueError(
+                "pattern_budget and host_page_budget are not combinable: "
+                "two composed declarative caps cannot reproduce the "
+                "sequential joint accounting"
+            )
         seq = 0
         content_sigs: set[tuple] = set()   # C35 content-seen (span keys)
         # per-cycle counter scratch: distinct robots-allowed candidates
@@ -129,6 +136,15 @@ class RefSim:
                 if pat_admits.get(pat, 0) >= budget:
                     return
                 pat_admits[pat] = pat_admits.get(pat, 0) + 1
+            if cfg.host_page_budget is not None:
+                # C38: lifetime admission cap per HOST (the site-budget
+                # control) — same stay-unseen semantics as C23; the two
+                # budgets are not combinable in one config (engine and
+                # GraphConfig both refuse), so the counters never
+                # interleave
+                if host_admits.get(host, 0) >= cfg.host_page_budget:
+                    return
+                host_admits[host] = host_admits.get(host, 0) + 1
             seen[u] = cycle
             if base is not None:
                 cyc_novel += 1

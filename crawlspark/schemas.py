@@ -214,6 +214,15 @@ PATTERN_COUNTS = T.StructType(
     ]
 )
 
+# C38 per-host lifetime admission counts (append-only deltas, summed
+# on read — the pattern_counts discipline scoped to the host)
+HOST_ADMISSIONS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
 # C24 redirect map: every successful 301 hop (alias → canonical
 # Location), append-only — the URL-aliasing identity a re-crawl or
 # link-graph consumer needs even when the target was already seen.
@@ -252,6 +261,7 @@ TABLE_SCHEMAS = {
     "host_state": HOST_STATE,
     "fetch_log": FETCH_LOG,
     "pattern_counts": PATTERN_COUNTS,
+    "host_admissions": HOST_ADMISSIONS,
     "redirects": REDIRECTS,
     # C37 rel=canonical alias map — same (src, dst, cycle_id) shape
     "canonicals": REDIRECTS,

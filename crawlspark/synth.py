@@ -75,6 +75,14 @@ class GraphConfig:
     # non-trap crawls bit-identical).
     trap_hosts: int = 0
     pattern_budget: int | None = None
+    # C38 (per-host lifetime page budget, Heritrix max-pages-per-host):
+    # cap TOTAL frontier admissions per host — the site-budget control
+    # that stops one mega-host from owning the crawl. Admission-side
+    # like pattern_budget (a capped URL stays unseen and counts as
+    # deduped); NOT combinable with pattern_budget in one config (the
+    # sequential joint semantics aren't reproducible by two composed
+    # declarative caps — both engines refuse the combination).
+    host_page_budget: int | None = None
     # redirect knob (C24): every redirect_every'th outlink (hash-picked
     # per (page, k)) is emitted as an ALIAS URL `/r{j}` on the target's
     # host; fetching the alias 301s to the canonical page (which may be
@@ -938,6 +946,12 @@ UNIT_META = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # registry both measurably depart from the declaration-free twin
 UNIT_CANON = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                          max_cycles=6, canonical_every=3)
+# C38 per-host lifetime page budget: 6 admissions per host — the
+# mega-host (site 0, ~40 pages) pins at exactly the budget while the
+# tail sites stay untouched; discovery through capped hosts' pages
+# measurably reshapes the attempt order vs the uncapped twin
+UNIT_HBUDGET = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
+                           max_cycles=6, host_page_budget=6)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,
