@@ -1921,6 +1921,39 @@ FROM documents WHERE doc_id >= 100 AND doc_id < 160
 """
 
 
+# --- ORC scan/sink roundtrip (R33) ------------------------------------------
+
+_Q150_DIR: dict[str, str] = {}
+
+
+def q150_orc_roundtrip(spark, sf):
+    """R33 ORC scan + sink: documents written to ORC (Spark's second
+    built-in columnar format — the warehouse-interchange path when the
+    downstream is Hive/Trino-shaped) and scanned back with a predicate
+    — the oracle reads the ORIGINAL parquet, so any row/value mangled
+    by the ORC encode/decode shifts the hash. Predicate pushdown and
+    column pruning work identically to parquet (Catalyst data-source
+    filters), asserted in tests/test_layout.py."""
+    import tempfile as _tf
+
+    key = sf
+    if key not in _Q150_DIR:
+        out = _tf.mkdtemp(prefix="crawlspark-q150-") + "/docs_orc"
+        T(spark, sf, "documents").write.mode("overwrite").orc(out)
+        _Q150_DIR[key] = out
+    return (
+        spark.read.orc(_Q150_DIR[key])
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+SQL150 = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents WHERE lang = 'en'
+"""
+
+
 # --- DSIR importance resampling (P55) --------------------------------------
 
 _Q140_DIMS = 512
@@ -2022,6 +2055,7 @@ QUERIES = {
     "q141_html_extract": q141_html_extract,
     "q142_line_filter": q142_line_filter,
     "q147_clustered_scan": q147_clustered_scan,
+    "q150_orc_roundtrip": q150_orc_roundtrip,
 }
 
 ORACLE = {
@@ -2057,4 +2091,5 @@ ORACLE = {
     "q141_html_extract": SQL141,
     "q142_line_filter": SQL142,
     "q147_clustered_scan": SQL147,
+    "q150_orc_roundtrip": SQL150,
 }

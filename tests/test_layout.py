@@ -64,3 +64,28 @@ def test_clustered_layout_prunes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id" in plan
+
+
+def test_orc_pushdown_and_pruning(spark):
+    """R33: the ORC scan honors predicate pushdown and column pruning
+    exactly like parquet — the filter reaches the data source and the
+    read schema excludes unused columns."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="crawlspark-orc-") + "/o"
+    docs.write.mode("overwrite").orc(out)
+    df = (
+        spark.read.orc(out)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
+    # roundtrip exactness
+    a = sorted(map(tuple, docs.select("doc_id", "n_chars", "lang").collect()))
+    b = sorted(
+        map(tuple, spark.read.orc(out).select("doc_id", "n_chars", "lang").collect())
+    )
+    assert a == b
