@@ -1165,3 +1165,59 @@ def line_quality_filter(
         F.size(lines).cast("long").alias("n_lines"),
         F.size(keep_l).cast("long").alias("n_kept"),
     )
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """P58 Gopher-style rule bundle with per-rule attribution (Rae et
+    al. 2021 §A1.1, the MassiveWeb filter): the composed keep/reject
+    decision production pipelines ship, REPORTED per rule — a doc that
+    fails says WHICH rule fired (`rule_mask` bit + named boolean), the
+    report curation teams actually read when tuning thresholds.
+
+    Every decision is an exact INTEGER comparison (ratios compared by
+    cross-multiplication, never a rounded float), so the verdicts are
+    bit-equal across engines and partitionings. Pure column math —
+    narrow, zero shuffles, linear in corpus bytes.
+
+    Rules (bit): 0 too few words (<50); 1 too many words (>100k);
+    2 mean word length outside [3,10] chars; 3 stopword ratio < 2%;
+    4 duplicate-bigram fraction > 30%; 5 top-bigram coverage > 18%.
+    keep = no rule fired."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.trim(F.col(text_col)).alias("_t"),
+    ).select("id", "_t", F.split("_t", " ").alias("_w"))
+    base = base.select(
+        "id", "_t", "_w", _word_grams(F.col("_w"), 2).alias("_g2")
+    )
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    nw = F.size("_w")
+    chars = F.length("_t") - (nw - 1)  # chars inside words
+    n_stop = F.size(F.filter("_w", lambda x: F.array_contains(en_stop, x)))
+    g2, ng2 = F.col("_g2"), F.size("_g2")
+    ndist2 = F.size(F.array_distinct("_g2"))
+    top2 = F.when(
+        ng2 > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct("_g2"),
+                lambda x: F.size(F.filter(g2, lambda y: y == x)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    rules = [
+        ("r_too_few_words", nw < 50),
+        ("r_too_many_words", nw > 100_000),
+        ("r_word_len", (chars < nw * 3) | (chars > nw * 10)),
+        ("r_stop_ratio", n_stop * 50 < nw),
+        ("r_dup_bigrams", (ng2 - ndist2) * 10 > ng2 * 3),
+        ("r_top_bigram", top2 * 100 > ng2 * 18),
+    ]
+    out = base.withColumn("n_words", nw.cast("long"))
+    mask = F.lit(0).cast("long")
+    for bit, (name, cond) in enumerate(rules):
+        out = out.withColumn(name, cond)
+        mask = mask + F.when(F.col(name), F.lit(1 << bit)).otherwise(0)
+    return out.withColumn("rule_mask", mask.cast("long")).withColumn(
+        "keep", F.col("rule_mask") == 0
+    ).drop("_t", "_w", "_g2")

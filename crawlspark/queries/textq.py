@@ -1954,6 +1954,64 @@ FROM documents WHERE lang = 'en'
 """
 
 
+# --- Gopher rule bundle with per-rule attribution (P58) ---------------------
+
+def q151_gopher_rules(spark, sf):
+    """P58 (operators/textstats.gopher_rules): the MassiveWeb filter
+    bundle with per-rule attribution — six named rules, a bitmask, and
+    the composed keep; every verdict an exact integer comparison so
+    the report hash-matches the DuckDB twin bit-for-bit."""
+    return textstats.gopher_rules(
+        T(spark, sf, "documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
+SQL151 = """
+WITH b AS (
+  SELECT doc_id AS id, trim(text) AS t, string_split(trim(text), ' ') AS w
+  FROM documents),
+g AS (
+  SELECT id, t, w,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+              ELSE [] END AS g2
+  FROM b),
+f AS (
+  SELECT id, t, w, g2,
+         CAST(len(w) AS BIGINT) AS nw,
+         length(t) - (len(w) - 1) AS chars,
+         len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop,
+         len(g2) AS ng2,
+         len(list_distinct(g2)) AS ndist2,
+         CASE WHEN len(g2) > 0
+              THEN list_max(list_transform(list_distinct(g2),
+                                           x -> len(list_filter(g2, y -> y = x))))
+              ELSE 0 END AS top2
+  FROM g),
+r AS (
+  SELECT id, nw,
+         (nw < 50) AS r_too_few_words,
+         (nw > 100000) AS r_too_many_words,
+         (chars < nw * 3 OR chars > nw * 10) AS r_word_len,
+         (n_stop * 50 < nw) AS r_stop_ratio,
+         ((ng2 - ndist2) * 10 > ng2 * 3) AS r_dup_bigrams,
+         (top2 * 100 > ng2 * 18) AS r_top_bigram
+  FROM f)
+SELECT id AS doc_id, nw AS n_words,
+       r_too_few_words, r_too_many_words, r_word_len, r_stop_ratio,
+       r_dup_bigrams, r_top_bigram,
+       CAST(CASE WHEN r_too_few_words THEN 1 ELSE 0 END
+          + CASE WHEN r_too_many_words THEN 2 ELSE 0 END
+          + CASE WHEN r_word_len THEN 4 ELSE 0 END
+          + CASE WHEN r_stop_ratio THEN 8 ELSE 0 END
+          + CASE WHEN r_dup_bigrams THEN 16 ELSE 0 END
+          + CASE WHEN r_top_bigram THEN 32 ELSE 0 END AS BIGINT) AS rule_mask,
+       (NOT (r_too_few_words OR r_too_many_words OR r_word_len
+             OR r_stop_ratio OR r_dup_bigrams OR r_top_bigram)) AS keep
+FROM r
+"""
+
+
 # --- DSIR importance resampling (P55) --------------------------------------
 
 _Q140_DIMS = 512
@@ -2056,6 +2114,7 @@ QUERIES = {
     "q142_line_filter": q142_line_filter,
     "q147_clustered_scan": q147_clustered_scan,
     "q150_orc_roundtrip": q150_orc_roundtrip,
+    "q151_gopher_rules": q151_gopher_rules,
 }
 
 ORACLE = {
@@ -2092,4 +2151,5 @@ ORACLE = {
     "q142_line_filter": SQL142,
     "q147_clustered_scan": SQL147,
     "q150_orc_roundtrip": SQL150,
+    "q151_gopher_rules": SQL151,
 }

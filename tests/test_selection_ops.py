@@ -123,3 +123,45 @@ def test_line_filter_recovers_main_text(spark):
     out = textstats.line_quality_filter(df, "doc_id", "t", min_words=5).collect()[0]
     assert out["main_text"] == "the quick brown fox jumps over the dog"
     assert out["n_lines"] == 5 and out["n_kept"] == 1
+
+
+# --- P58 Gopher rule bundle --------------------------------------------------
+
+def test_gopher_rules_attribution(spark):
+    """Each rule verified against a sequential recomputation on texts
+    chosen to fire different subsets (degenerate repeats, stuffed
+    bigrams, overlong words)."""
+    cases = [
+        "word " * 30,                                   # short, degenerate
+        " ".join(f"w{i} the" for i in range(60)),       # stuffed bigrams
+        " ".join(f"uniqueword{i:04d} the of" for i in range(40)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    from crawlspark.operators.textstats import gopher_rules
+
+    got = {r["id"]: r.asDict() for r in gopher_rules(df, "doc_id", "text").collect()}
+    for i, t in enumerate(cases):
+        t = t.strip()
+        w = t.split(" ")
+        nw = len(w)
+        chars = len(t) - (nw - 1)
+        stops = sum(1 for x in w if x in {"the", "a", "of", "and", "to", "in", "is"})
+        g2 = [f"{w[k]}_{w[k+1]}" for k in range(nw - 1)]
+        top2 = max((g2.count(x) for x in set(g2)), default=0)
+        r = got[i]
+        assert r["r_too_few_words"] == (nw < 50), (i, nw)
+        assert r["r_word_len"] == (chars < nw * 3 or chars > nw * 10)
+        assert r["r_stop_ratio"] == (stops * 50 < nw)
+        assert r["r_dup_bigrams"] == ((len(g2) - len(set(g2))) * 10 > len(g2) * 3)
+        assert r["r_top_bigram"] == (top2 * 100 > len(g2) * 18)
+        fired = [k for k in r if k.startswith("r_") and r[k]]
+        assert r["keep"] == (not fired)
+        mask = sum(
+            1 << b for b, name in enumerate(
+                ["r_too_few_words", "r_too_many_words", "r_word_len",
+                 "r_stop_ratio", "r_dup_bigrams", "r_top_bigram"]
+            ) if r[name]
+        )
+        assert r["rule_mask"] == mask
