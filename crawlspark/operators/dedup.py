@@ -303,7 +303,7 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFra
 
 
 def prefix_filter_candidates(
-    sh: DataFrame, t_num: int, t_den: int
+    sh: DataFrame, t_num: int, t_den: int, positional: bool = True
 ) -> DataFrame:
     """(i, j) complete candidate pairs for a containment join at
     threshold t = t_num/t_den, i < j — the AllPairs/SSJoin prefix
@@ -342,11 +342,26 @@ def prefix_filter_candidates(
     )
     alpha = F.expr(f"(({t_num} * n + {t_den - 1}) div {t_den})")
     prefix = ranked.filter(F.col("r") <= F.col("n") - alpha + 1).select(
-        F.col("id").alias("pid"), "shingle", F.col("n").alias("pn")
+        F.col("id").alias("pid"), "shingle", F.col("n").alias("pn"),
+        F.col("r").alias("pr"), alpha.alias("palpha"),
     )
     full = ranked.select(
-        F.col("id").alias("fid"), F.col("shingle").alias("fsh"), F.col("n").alias("fn")
+        F.col("id").alias("fid"), F.col("shingle").alias("fsh"),
+        F.col("n").alias("fn"), F.col("r").alias("fr"),
     )
+    # ppjoin positional filter (Xiao et al. WWW'08): a collision at
+    # positions (pr, fr) bounds the overlap by 1 + min(pn−pr, fn−fr)
+    # (every further common shingle sits strictly after BOTH positions
+    # in the shared canonical order). The FIRST common shingle of a
+    # true pair — which the prefix guarantee says lands in this join —
+    # has the pair's maximal bound ≥ |A∩B| ≥ α, so dropping collision
+    # rows whose bound is < α never drops a qualifying pair; it only
+    # prunes candidates the exact verify would reject. Result-invariant
+    # ⇒ the DuckDB oracle keeps the plain AllPairs candidate set.
+    positional_ok = (
+        F.lit(1) + F.least(F.col("pn") - F.col("pr"), F.col("fn") - F.col("fr"))
+        >= F.col("palpha")
+    ) if positional else F.lit(True)
     return (
         prefix.join(
             full,
@@ -354,7 +369,8 @@ def prefix_filter_candidates(
             & (
                 (F.col("pn") < F.col("fn"))
                 | ((F.col("pn") == F.col("fn")) & (F.col("pid") != F.col("fid")))
-            ),
+            )
+            & positional_ok,
         )
         .select(
             F.least("pid", "fid").alias("i"), F.greatest("pid", "fid").alias("j")

@@ -69,6 +69,26 @@ def test_prefix_filter_prunes_something(spark):
     assert n_cand < all_pairs  # doc 7 shares nothing → never a candidate
 
 
+def test_positional_filter_subset_and_result_invariant(spark):
+    # ppjoin positional filter: candidates shrink (never grow) vs the
+    # plain AllPairs prefix filter, and the exact-verified result is
+    # identical — pruned rows all have overlap < α.
+    d = _docs(spark)
+    sh = dedup.shingle_table(d, "doc_id", "text", k=2)
+    plain = dedup.prefix_filter_candidates(sh, 3, 5, positional=False)
+    pos = dedup.prefix_filter_candidates(sh, 3, 5, positional=True)
+    plain_set = {(r["i"], r["j"]) for r in plain.collect()}
+    pos_set = {(r["i"], r["j"]) for r in pos.collect()}
+    assert pos_set <= plain_set
+    got_plain = {
+        tuple(r) for r in dedup.containment_verify(plain, sh, 0.6).collect()
+    }
+    got_pos = {
+        tuple(r) for r in dedup.containment_verify(pos, sh, 0.6).collect()
+    }
+    assert got_plain == got_pos
+
+
 def test_epoch_shuffle_paths_agree(spark):
     d = _docs(spark)
     a = epoch_shuffle(d, "doc_id", n_epochs=3, distributed=False)
