@@ -1221,3 +1221,56 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.withColumn("rule_mask", mask.cast("long")).withColumn(
         "keep", F.col("rule_mask") == 0
     ).drop("_t", "_w", "_g2")
+
+
+def weighted_sample_wor(
+    df: DataFrame, id_col: str, weight_col: str, k: int,
+    salt: str = "wsr1", w_max: int = 8,
+) -> DataFrame:
+    """P59: weighted sampling WITHOUT replacement — the curation step
+    that draws a fixed-size subset where higher-weight docs (longer,
+    higher-quality, rarer-language) are proportionally likelier to
+    survive, without ever selecting a doc twice.
+
+    Priority rule (libm-free, so it is bit-exact across engines): a doc
+    with integer weight w holds w lottery tickets; ticket j's value is
+    md5-60(salt#id#j) and the doc's survival priority is its BEST
+    (minimum) ticket. The k docs with the smallest priorities win, doc
+    id breaking ties. This is uniform sampling without replacement over
+    the ticket multiset collapsed to distinct docs — the classic
+    integer-weight reduction — and it needs no exp()/ln() draw the way
+    Efraimidis–Spirakis keys do, which is exactly what keeps the DuckDB
+    twin hash-identical (float libm calls are NOT guaranteed bit-equal
+    across engines; 60-bit integer hashes are).
+
+    Determinism: reproducible from (salt, k) alone — stable under task
+    retries, partitioning, and resume, the property a training-mix
+    rebuild needs. Changing the salt redraws the whole sample.
+
+    Scale shape (10^9 docs): the per-doc priority is array math on a
+    generated sequence — NARROW, zero shuffles, no explode (w ≤ w_max
+    tickets fold inside one row); the global top-k is orderBy+limit,
+    which Spark executes as TakeOrderedAndProject (per-partition heaps
+    + a k-row driver merge), never a full sort. Weights are clamped to
+    [1, w_max]: ticket cost is bounded by design, and a caller with
+    heavier-tailed weights tiers them into [1, w_max] first."""
+    w = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(F.lit(w_max).cast("long"), F.col(weight_col).cast("long")),
+    )
+    pri = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), w.cast("int")),
+            lambda j: md5hash60(
+                F.concat_ws(
+                    "#", F.lit(salt),
+                    F.col(id_col).cast("string"), j.cast("string"),
+                )
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), w.alias("w"), pri.alias("priority"))
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

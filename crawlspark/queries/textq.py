@@ -2012,6 +2012,38 @@ FROM r
 """
 
 
+# --- weighted sampling without replacement (P59) ---------------------------
+
+_Q152_K = 40
+
+
+def q152_weighted_sample(spark, sf):
+    """P59 (operators/textstats.weighted_sample_wor): fixed-size
+    weighted sample without replacement over `documents` — weight
+    tiers docs by length (w = 1 + min(7, n_chars // 64), so longer
+    docs hold up to 8 lottery tickets), priority = the doc's best
+    md5-60 ticket, winners = the 40 smallest priorities. Libm-free by
+    construction (no exp/ln draw), so the DuckDB twin is bit-exact;
+    zero shuffles before the TakeOrdered top-k."""
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        (1 + F.least(F.lit(7), F.floor(F.col("n_chars") / 64))).alias("w_raw"),
+    )
+    return textstats.weighted_sample_wor(d, "doc_id", "w_raw", k=_Q152_K)
+
+
+SQL152 = f"""
+SELECT doc_id, w, priority FROM (
+  SELECT doc_id, w,
+         list_min(list_transform(generate_series(1, CAST(w AS INT)),
+             j -> {_H("concat_ws('#', 'wsr1', CAST(doc_id AS VARCHAR), CAST(j AS VARCHAR))")})) AS priority
+  FROM (SELECT doc_id,
+               CAST(1 + least(7, CAST(floor(n_chars / 64) AS BIGINT)) AS BIGINT) AS w
+        FROM documents))
+ORDER BY priority, doc_id LIMIT {_Q152_K}
+"""
+
+
 # --- DSIR importance resampling (P55) --------------------------------------
 
 _Q140_DIMS = 512
@@ -2115,6 +2147,7 @@ QUERIES = {
     "q147_clustered_scan": q147_clustered_scan,
     "q150_orc_roundtrip": q150_orc_roundtrip,
     "q151_gopher_rules": q151_gopher_rules,
+    "q152_weighted_sample": q152_weighted_sample,
 }
 
 ORACLE = {
@@ -2152,4 +2185,5 @@ ORACLE = {
     "q147_clustered_scan": SQL147,
     "q150_orc_roundtrip": SQL150,
     "q151_gopher_rules": SQL151,
+    "q152_weighted_sample": SQL152,
 }
