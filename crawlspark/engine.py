@@ -56,8 +56,8 @@ from pyspark.sql import functions as F
 from .catalog import Catalog
 from .gen import host_config_df, seeds_df
 from .operators import fetch as fetch_ops
-from .operators import cuckoo, politeness, schedule, seen
-from .schemas import METRICS
+from .operators import clock, cuckoo, politeness, schedule, seen
+from .schemas import CLOCK_STATE, METRICS
 from .synth import GraphConfig
 from .urlnorm import canonicalize_udf, resolve_canonicalize_udf, with_url_parts
 
@@ -150,6 +150,13 @@ class CrawlEngine:
         if self.cfg.graph.domain_politeness:
             view = view.distinct()
         return view
+
+    def _clock_hand(self, snap) -> int:
+        """C39: the admission seq the next eviction sweep resumes at
+        (single-row clock_state table; 0 before the first sweep =
+        plain seq order). One bounded collect, only at sweep time."""
+        rows = self.cat.read("clock_state", snap).collect()
+        return int(rows[0]["hand"]) if rows else 0
 
     # -- bucketed url_seen mirror (opt-in) -----------------------------------
 
@@ -379,8 +386,18 @@ class CrawlEngine:
         # never scanned here. A failed attempt re-queues with its
         # original (score, seq): the batch TTR-re-release analogue.
         keys = ["url_hash", "url_norm"]
+        queued_src = frontier.join(resolved.select(*keys), keys, "left_anti")
+        if g.frontier_cap is not None:
+            # C39: clock-evicted entries are frontier tombstones (they
+            # stay in url_seen — accepted once, never fetched). The
+            # log is bounded by total evictions and folds away with
+            # the rest of working state (fold_state drops the rows
+            # from the frontier itself).
+            queued_src = queued_src.join(
+                self.cat.read("evictions", snap).select(*keys), keys, "left_anti"
+            )
         queued = (
-            frontier.join(resolved.select(*keys), keys, "left_anti")
+            queued_src
             .join(retry, keys, "left")
             .withColumn("attempt", (F.coalesce("n_fail", F.lit(0)) + 1).cast("int"))
             .drop("n_fail")
@@ -726,6 +743,57 @@ class CrawlEngine:
             )
         )
 
+        # C39 second-chance/clock frontier eviction (end of the cycle's
+        # merge — the refsim sweeps at the same point). All trigger
+        # arithmetic is scalars already collected: pending after this
+        # cycle = queued-at-start − resolved-this-cycle + novel.
+        ref_writes: list = []
+        if g.frontier_cap is not None:
+            n_pending = (
+                int(sum(q_in[f"s{i}"] or 0 for i in range(self.cfg.n_salt)))
+                - (n_sched - n_fail_retryable)
+                + n_novel
+            )
+            pend = (
+                queued.select("url_hash", "url_norm", "seq")
+                .join(resolved_delta.select(*keys), keys, "left_anti")
+                .unionByName(novel_rows.select("url_hash", "url_norm", "seq"))
+            )
+            # reference-bit delta: a candidate whose URL was seen at
+            # cycle START and is still pending re-discovered a live
+            # frontier entry — that entry earns one second chance
+            # (refsim: cyc_cands ∩ earlier-cycle seen ∩ queued)
+            ref_delta = (
+                cand.select(*keys)
+                .join(url_seen.select(*keys), keys, "left_semi")
+                .join(pend.select(*keys), keys, "left_semi")
+                .withColumn("cycle_id", F.lit(c).cast("long"))
+            )
+            if n_pending > g.frontier_cap:
+                ref_state = (
+                    self.cat.read("ref_bits", snap)
+                    .select(*keys)
+                    .unionByName(ref_delta.select(*keys))
+                    .distinct()
+                )
+                evicted, bits_kept, new_hand = clock.clock_sweep(
+                    pend, ref_state, n_pending - g.frontier_cap,
+                    self._clock_hand(snap),
+                    distributed=n_pending > schedule.SMALL_BATCH_MAX,
+                )
+                ref_writes = [
+                    ("append", "evictions",
+                     evicted.withColumn("cycle_id", F.lit(c).cast("long")), None),
+                    ("overwrite", "ref_bits",
+                     bits_kept.withColumn("cycle_id", F.lit(c).cast("long")), None),
+                    ("overwrite", "clock_state",
+                     self.spark.createDataFrame([(int(new_hand), c)], CLOCK_STATE),
+                     None),
+                ]
+            elif n_cand:
+                # bits accumulate between sweeps as append-only deltas
+                ref_writes = [("append", "ref_bits", ref_delta, None)]
+
         # politeness carry-over: ONLY buckets that spent tokens get a
         # delta row (lazy refill makes untouched rows stay exact).
         # _pol_expr is the identity when domain grouping is off.
@@ -797,6 +865,7 @@ class CrawlEngine:
             ("append", "host_state", hs_delta, None),
             ("append", "metrics", metrics, None),
         ]
+        writes += ref_writes
         if n_novel:
             writes += [
                 ("append", "frontier", novel_rows.select(*FRONTIER_COLS), None),
@@ -966,6 +1035,15 @@ class CrawlEngine:
         frontier = self.cat.read("frontier", snap)
         resolved = self.cat.read("resolved", snap)
         active = frontier.join(resolved.select(*keys), keys, "left_anti")
+        if self.cfg.graph.frontier_cap is not None:
+            # C39: fold eviction tombstones out of the frontier too;
+            # the evictions table itself stays as the audit log (its
+            # anti-join cost after a fold is ∝ lifetime evictions —
+            # a 10^10 deployment compacts it into the same bucketed
+            # mirror as url_seen)
+            active = active.join(
+                self.cat.read("evictions", snap).select(*keys), keys, "left_anti"
+            )
         hs_latest = politeness.latest_host_state(self.cat.read("host_state", snap))
         txn = self.cat.begin()
         txn.overwrite("frontier", active)

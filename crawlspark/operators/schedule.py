@@ -133,9 +133,12 @@ _SEQ_ORDER = ["batch_pos", "span_pos", "link_pos"]
 
 def rank_seq(
     df: DataFrame, base_seq: int, order_cols: list[str],
-    distributed: bool = False,
+    distributed: bool = False, out_col: str = "seq",
 ) -> DataFrame:
-    """Deterministic dense rank → ``seq`` over a total order.
+    """Deterministic dense rank → ``out_col`` (default ``seq``) over a
+    total order. Callers ranking a frame that already carries a live
+    ``seq`` column (the C39 clock sweep ranks pending frontier rows BY
+    seq) pass a different ``out_col`` so the order key survives.
 
     Small inputs rank through one window task. Large inputs use the
     same fully-distributed two-phase rank as :func:`global_schedule`:
@@ -148,7 +151,7 @@ def rank_seq(
     if not distributed:
         w = Window.orderBy(*order_cols)
         return df.withColumn(
-            "seq", (F.lit(base_seq) + F.row_number().over(w)).cast("long")
+            out_col, (F.lit(base_seq) + F.row_number().over(w)).cast("long")
         )
 
     spark = df.sparkSession
@@ -175,7 +178,7 @@ def rank_seq(
     return (
         ranged.join(F.broadcast(off_df), "_pid")
         .withColumn(
-            "seq",
+            out_col,
             (F.lit(base_seq) + F.col("_off") + F.row_number().over(w)).cast("long"),
         )
         .drop("_pid", "_off")

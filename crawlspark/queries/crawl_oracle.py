@@ -38,7 +38,7 @@ from ..synth import UNIT, GraphConfig, extract_anchors_from_text
 
 # bump when any expected-output definition changes so stale parquet
 # from an earlier code version is never served to the harness
-_VERSION = 18
+_VERSION = 19
 
 
 def _md5_60(s: str) -> int:
@@ -367,6 +367,10 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
     for s_, d, a in anchor_pairs:
         wedges[(s_, d)] = wedges.get((s_, d), 0) + len(a.split(" "))
     q127 = _weighted_pagerank(wedges, damping=0.85, iterations=6)
+    # q154: the clock-eviction log (C39) — every sweep victim with the
+    # lap that took it (1 = unreferenced, 2 = evicted after its second
+    # chance on the wrapped lap), straight from the sequential twin
+    q154 = [(u, c, lap) for (u, c, lap) in res.evictions]
     q136 = _hits(res.edges, iterations=6)
     # q138: seeds = the depth-0 scheduled fetches (the crawl's entry
     # contract), distances over the discovered link graph
@@ -488,6 +492,11 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
             "id string, hub double, auth double",
             q136,
         ),
+        "q154_evictions": (
+            ["url_norm", "cycle_id", "lap"],
+            "url_norm string, cycle_id int64, lap int32",
+            q154,
+        ),
         "q138_link_distance": (
             ["id", "dist"],
             "id string, dist int32",
@@ -509,6 +518,7 @@ _NAMES = [
     "q76_backoff", "q77_priority_feedback", "q102_media_dedup",
     "q126_anchor_text", "q127_anchor_authority", "q131_content_seen",
     "q136_hits", "q138_link_distance", "q146_canonicals",
+    "q154_evictions",
 ]
 
 

@@ -1121,6 +1121,47 @@ def q149_host_admissions(spark, sf):
     )
 
 
+def _engine_clock(spark) -> CrawlEngine:
+    """UNIT_CLOCK crawl: frontier capped at 14 pending entries — the
+    clock sweeps most cycles; re-discovered pending URLs earn second
+    chances that visibly reshape the crawl."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-clock"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_CLOCK
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_CLOCK, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q153_clock_order(spark, sf):
+    """C39 through the driver's harness: with the frontier capped,
+    clock-evicted URLs never schedule and second-chance survivors do,
+    so the FULL attempt order measurably departs from the uncapped
+    twin and must match the refsim running the identical sequential
+    sweep (refsim.clock_sweep_py). Oracle: the UNIT_CLOCK refsim's
+    q80 table."""
+    return _engine_clock(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
+def q154_evictions(spark, sf):
+    """C39's audit log: every sweep victim with the cycle and the lap
+    that took it (1 = unreferenced, 2 = evicted after its second
+    chance on the wrapped lap). Oracle: the UNIT_CLOCK refsim's
+    eviction log."""
+    return _engine_clock(spark).cat.read("evictions").select(
+        "url_norm", "cycle_id", "lap"
+    )
+
+
 QUERIES = {
     "q80_crawl_order": q80_crawl_order,
     "q81_crawl_seen": q81_crawl_seen,
@@ -1162,6 +1203,8 @@ QUERIES = {
     "q146_canonicals": q146_canonicals,
     "q148_host_budget": q148_host_budget,
     "q149_host_admissions": q149_host_admissions,
+    "q153_clock_order": q153_clock_order,
+    "q154_evictions": q154_evictions,
 }
 
 ORACLE: dict[str, str] = {}
@@ -1279,4 +1322,12 @@ def build_oracle() -> dict[str, str]:
         " CAST(count(*) AS BIGINT) AS n_admitted"
         f" FROM {q81_hb} GROUP BY 1"
     )
+    # q153/q154: attempt order + eviction log under the C39 clock
+    # frontier cap (the refsim runs the identical sequential sweep —
+    # refsim.clock_sweep_py — over the same ring states)
+    from ..synth import UNIT_CLOCK
+
+    ck_sql = build_crawl_oracles(UNIT_CLOCK)
+    sql["q153_clock_order"] = ck_sql["q80_crawl_order"]
+    sql["q154_evictions"] = ck_sql["q154_evictions"]
     return sql

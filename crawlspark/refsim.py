@@ -50,6 +50,13 @@ class RefSimResult:
     # C37: every honored rel=canonical declaration (variant, canonical,
     # cycle) — the URL-aliasing identity the duplicate-URL collapse reads
     canonicals: list[tuple[str, str, int]] = field(default_factory=list)
+    # C39: every clock-sweep eviction (url_norm, cycle_id, lap) — lap 1
+    # took an unreferenced entry, lap 2 a just-cleared one
+    evictions: list[tuple[str, int, int]] = field(default_factory=list)
+    # C39: every second-chance grant (url_norm, cycle_id) — the hand
+    # passed a referenced entry, cleared its bit, kept it (test signal;
+    # the engine's sweep implies the same set but does not log it)
+    protections: list[tuple[str, int]] = field(default_factory=list)
     # per-cycle counters matching the engine's metrics rollup:
     # (cycle_id, urls_in, urls_deduped, urls_scheduled, docs_written)
     cycles: list[tuple[int, int, int, int, int]] = field(default_factory=list)
@@ -63,6 +70,44 @@ class RefSimResult:
                 self.docs,
             )
         )
+
+
+def clock_sweep_py(
+    entries: list[tuple[str, int]], refbit: set[str], n_evict: int, hand: int,
+) -> tuple[list[tuple[str, int]], list[str], int]:
+    """C39's sequential clock rule as a pure function: ``entries`` is
+    the pending set as (url, seq) in any order, ``refbit`` the set of
+    referenced urls, ``hand`` the seq the sweep resumes at. Returns
+    (evicted [(url, lap)...] in eviction order, protected urls in pass
+    order, new hand). Mutates ``refbit`` exactly like the sweep: passed
+    bits clear, and bits of evicted entries drop. The engine's
+    distributed sweep (operators/clock.py) must match this bit-for-bit
+    on any state — differential-tested in tests/test_clock_eviction.py
+    including the two-lap path and hand wrap-around."""
+    ring = sorted(entries, key=lambda e: (0 if e[1] >= hand else 1, e[1]))
+    evicted: list[tuple[str, int]] = []
+    protected: list[str] = []
+    passed: list[tuple[str, int]] = []
+    stop_seq = hand
+    for u, s in ring:
+        if len(evicted) == n_evict:
+            break
+        if u in refbit:
+            refbit.discard(u)   # second chance
+            protected.append(u)
+            passed.append((u, s))
+        else:
+            evicted.append((u, 1))
+            stop_seq = s
+    else:
+        # a full lap ran dry: every survivor's bit is now clear, so
+        # the wrapped hand takes them in the same ring order
+        for u, s2 in passed:
+            if len(evicted) == n_evict:
+                break
+            evicted.append((u, 2))
+            stop_seq = s2
+    return evicted, protected, stop_seq + 1
 
 
 class RefSim:
@@ -98,6 +143,8 @@ class RefSim:
                 "sequential joint accounting"
             )
         seq = 0
+        refbit: set[str] = set()           # C39: pending URLs re-discovered
+        clock_hand = 0                     # C39: the sweep resumes at this seq
         content_sigs: set[tuple] = set()   # C35 content-seen (span keys)
         # per-cycle counter scratch: distinct robots-allowed candidates
         # discovered this cycle (the engine's post-dedup `cand` set) and
@@ -284,6 +331,31 @@ class RefSim:
             res.cycles.append(
                 (c, urls_in, len(cyc_cands) - cyc_novel, len(batch), n_docs)
             )
+            if cfg.frontier_cap is not None:
+                # C39 second-chance/clock eviction (end of the cycle's
+                # merge, before between-cycle maintenance — the engine
+                # sweeps at the same point inside run_cycle). Reference
+                # bits first: a candidate whose URL was seen in an
+                # EARLIER cycle and is still pending protects that
+                # entry for one sweep lap (the engine derives the same
+                # set as cand ⋉ url_seen@start ⋉ pending@end).
+                for u in cyc_cands:
+                    if u in queued and seen.get(u, c) < c:
+                        refbit.add(u)
+                if len(queued) > cfg.frontier_cap:
+                    evicted, protected, clock_hand = clock_sweep_py(
+                        [(u, tup[1]) for u, tup in queued.items()],
+                        refbit,
+                        len(queued) - cfg.frontier_cap,
+                        clock_hand,
+                    )
+                    res.protections.extend((u, c) for u in protected)
+                    for u, lap in evicted:
+                        del queued[u]
+                        res.evictions.append((u, c, lap))
+                    # bits of entries that left the ring are dropped
+                    # (the engine's sweep overwrite keeps pending only)
+                    refbit &= set(queued)
             if cfg.revisit_after == c:
                 # C25 freshness re-crawl (the engine's revisit()): every
                 # URL whose last successful fetch is ≥ min_age cycles

@@ -223,6 +223,38 @@ HOST_ADMISSIONS = T.StructType(
     ]
 )
 
+# C39 clock-eviction log + tombstones (url stays in url_seen; the
+# frontier read anti-joins this table): lap 1 took an unreferenced
+# entry, lap 2 a just-cleared one
+EVICTIONS = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("lap", T.IntegerType(), False),
+        T.StructField("cycle_id", T.LongType(), False),
+    ]
+)
+
+# C39 reference bits: pending URLs re-discovered since the last sweep
+# (append-only deltas between sweeps; overwritten to the surviving set
+# at each sweep)
+REF_BITS = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("cycle_id", T.LongType(), False),
+    ]
+)
+
+# C39 clock hand: the admission seq the next sweep resumes at (single
+# row, overwritten per sweep)
+CLOCK_STATE = T.StructType(
+    [
+        T.StructField("hand", T.LongType(), False),
+        T.StructField("cycle_id", T.LongType(), False),
+    ]
+)
+
 # C24 redirect map: every successful 301 hop (alias → canonical
 # Location), append-only — the URL-aliasing identity a re-crawl or
 # link-graph consumer needs even when the target was already seen.
@@ -262,6 +294,9 @@ TABLE_SCHEMAS = {
     "fetch_log": FETCH_LOG,
     "pattern_counts": PATTERN_COUNTS,
     "host_admissions": HOST_ADMISSIONS,
+    "evictions": EVICTIONS,
+    "ref_bits": REF_BITS,
+    "clock_state": CLOCK_STATE,
     "redirects": REDIRECTS,
     # C37 rel=canonical alias map — same (src, dst, cycle_id) shape
     "canonicals": REDIRECTS,

@@ -83,6 +83,17 @@ class GraphConfig:
     # sequential joint semantics aren't reproducible by two composed
     # declarative caps — both engines refuse the combination).
     host_page_budget: int | None = None
+    # C39 (second-chance/clock frontier eviction): bound the PENDING
+    # frontier to this many entries. After each cycle's merge, a clock
+    # hand sweeps the pending ring in admission-seq order from where it
+    # last stopped: entries whose reference bit is set (the URL was
+    # re-discovered while pending — a duplicate candidate hit it) get
+    # the bit cleared and survive one lap; unreferenced entries evict
+    # until the cap holds (a second lap evicts just-cleared entries if
+    # lap one ran dry). Evicted URLs STAY in the seen set — the crawler
+    # accepted them once and simply never fetches them, the standard
+    # bounded-frontier discard. None = unbounded (default).
+    frontier_cap: int | None = None
     # redirect knob (C24): every redirect_every'th outlink (hash-picked
     # per (page, k)) is emitted as an ALIAS URL `/r{j}` on the target's
     # host; fetching the alias 301s to the canonical page (which may be
@@ -952,6 +963,16 @@ UNIT_CANON = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # measurably reshapes the attempt order vs the uncapped twin
 UNIT_HBUDGET = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
                            max_cycles=6, host_page_budget=6)
+# C39 second-chance/clock frontier eviction: a small cap with a small
+# batch keeps the pending ring persistently over the limit, so the
+# clock sweeps most cycles; dense cross-links (out_degree 6)
+# re-discover pending URLs and set reference bits, so second-chance
+# survival visibly reshapes the crawl (every protected entry is later
+# fetched — asserted in tests/test_clock_eviction.py; the two-lap
+# path, which no organic graph reaches, is differential-tested there
+# on constructed ring states)
+UNIT_CLOCK = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
+                         batch_size=8, max_cycles=8, frontier_cap=14)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,
