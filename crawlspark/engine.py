@@ -389,12 +389,16 @@ class CrawlEngine:
         queued_src = frontier.join(resolved.select(*keys), keys, "left_anti")
         if g.frontier_cap is not None:
             # C39: clock-evicted entries are frontier tombstones (they
-            # stay in url_seen — accepted once, never fetched). The
-            # log is bounded by total evictions and folds away with
-            # the rest of working state (fold_state drops the rows
-            # from the frontier itself).
+            # stay in url_seen — accepted once, never fetched). Keyed
+            # by INCARNATION (url + seq): a C20/C21/C25 forget/reseed/
+            # revisit re-injection mints a new seq and must queue —
+            # only the evicted frontier row stays dead. The log is
+            # bounded by total evictions and folds away with the rest
+            # of working state (fold_state drops the rows from the
+            # frontier itself).
             queued_src = queued_src.join(
-                self.cat.read("evictions", snap).select(*keys), keys, "left_anti"
+                self.cat.read("evictions", snap).select(*keys, "seq"),
+                [*keys, "seq"], "left_anti",
             )
         queued = (
             queued_src
@@ -1036,13 +1040,15 @@ class CrawlEngine:
         resolved = self.cat.read("resolved", snap)
         active = frontier.join(resolved.select(*keys), keys, "left_anti")
         if self.cfg.graph.frontier_cap is not None:
-            # C39: fold eviction tombstones out of the frontier too;
-            # the evictions table itself stays as the audit log (its
-            # anti-join cost after a fold is ∝ lifetime evictions —
-            # a 10^10 deployment compacts it into the same bucketed
-            # mirror as url_seen)
+            # C39: fold eviction tombstones out of the frontier too —
+            # incarnation-keyed like the queued read, so a reseeded
+            # row's fresh seq survives; the evictions table itself
+            # stays as the audit log (its anti-join cost after a fold
+            # is ∝ lifetime evictions — a 10^10 deployment compacts it
+            # into the same bucketed mirror as url_seen)
             active = active.join(
-                self.cat.read("evictions", snap).select(*keys), keys, "left_anti"
+                self.cat.read("evictions", snap).select(*keys, "seq"),
+                [*keys, "seq"], "left_anti",
             )
         hs_latest = politeness.latest_host_state(self.cat.read("host_state", snap))
         txn = self.cat.begin()

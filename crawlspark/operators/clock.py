@@ -82,7 +82,7 @@ def clock_sweep(
         )
         evicted = (
             ranked.filter(F.col("_rpos") <= n_evict)
-            .select(*KEYS)
+            .select(*KEYS, "seq")
             .withColumn("lap", F.lit(1))
         )
         bits_kept = p.filter(F.col("ref") & ~before).select(*KEYS)
@@ -90,14 +90,14 @@ def clock_sweep(
     # the first lap runs dry: all z unreferenced entries evict, every
     # referenced entry is passed (bit cleared), and the wrapped hand
     # takes the first n_evict - z survivors in the same ring order
-    ev1 = unref.select(*KEYS).withColumn("lap", F.lit(1))
+    ev1 = unref.select(*KEYS, "seq").withColumn("lap", F.lit(1))
     rest = p.filter(F.col("ref"))
     k2 = n_evict - z
     ranked2 = rank_seq(rest, 0, ring, distributed, out_col="_rpos")
     th2 = ranked2.filter(F.col("_rpos") == k2).select("seq").collect()[0]
     ev2 = (
         ranked2.filter(F.col("_rpos") <= k2)
-        .select(*KEYS)
+        .select(*KEYS, "seq")
         .withColumn("lap", F.lit(2))
     )
     bits_kept = p.filter(F.lit(False)).select(*KEYS)

@@ -1152,6 +1152,46 @@ def q153_clock_order(spark, sf):
     )
 
 
+def _engine_clkrs(spark) -> CrawlEngine:
+    """UNIT_CLKRS scenario: the capped crawl runs 4 cycles, the 6
+    lexicographically-first seen URLs (two of them clock-evicted
+    earlier) reseed, then the crawl finishes — the C39 ∘ C21
+    composition."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-clkrs"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_CLKRS
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_CLKRS, warehouse=wh))
+        eng.run(max_cycles=UNIT_CLKRS.reseed_after)
+        victims = [
+            r["url_norm"]
+            for r in eng.seen_set().orderBy("url_norm")
+            .limit(UNIT_CLKRS.reseed_k).collect()
+        ]
+        eng.reseed(victims)
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q155_clock_reseed(spark, sf):
+    """C39 ∘ C21 composition through the driver's harness: clock
+    eviction tombstones are INCARNATION-keyed (url + seq), so a
+    reseeded victim that was evicted earlier re-queues as its fresh
+    incarnation and is re-fetched — a url-keyed tombstone would
+    shadow it forever and shift every later row. Oracle: the
+    UNIT_CLKRS refsim's q80 table (its reseed hook picks the same
+    lexicographic victims)."""
+    return _engine_clkrs(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
 def q154_evictions(spark, sf):
     """C39's audit log: every sweep victim with the cycle and the lap
     that took it (1 = unreferenced, 2 = evicted after its second
@@ -1205,6 +1245,7 @@ QUERIES = {
     "q149_host_admissions": q149_host_admissions,
     "q153_clock_order": q153_clock_order,
     "q154_evictions": q154_evictions,
+    "q155_clock_reseed": q155_clock_reseed,
 }
 
 ORACLE: dict[str, str] = {}
@@ -1330,4 +1371,9 @@ def build_oracle() -> dict[str, str]:
     ck_sql = build_crawl_oracles(UNIT_CLOCK)
     sql["q153_clock_order"] = ck_sql["q80_crawl_order"]
     sql["q154_evictions"] = ck_sql["q154_evictions"]
+    # q155: the C39 ∘ C21 composition — the refsim's reseed hook picks
+    # the same lexicographic victims the scenario engine reseeds
+    from ..synth import UNIT_CLKRS
+
+    sql["q155_clock_reseed"] = build_crawl_oracles(UNIT_CLKRS)["q80_crawl_order"]
     return sql

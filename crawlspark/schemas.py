@@ -225,11 +225,17 @@ HOST_ADMISSIONS = T.StructType(
 
 # C39 clock-eviction log + tombstones (url stays in url_seen; the
 # frontier read anti-joins this table): lap 1 took an unreferenced
-# entry, lap 2 a just-cleared one
+# entry, lap 2 a just-cleared one. Tombstones are keyed by the
+# INCARNATION (url + admission seq), not the url alone: C20/C21/C25
+# forget/reseed/revisit re-inject forgotten URLs with strictly-new
+# seqs, and that fresh incarnation must queue — only the evicted
+# frontier row stays dead (seqs are never reused, so an old tombstone
+# can never shadow new work).
 EVICTIONS = T.StructType(
     [
         T.StructField("url_hash", T.LongType(), False),
         T.StructField("url_norm", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
         T.StructField("lap", T.IntegerType(), False),
         T.StructField("cycle_id", T.LongType(), False),
     ]

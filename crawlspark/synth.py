@@ -973,6 +973,14 @@ UNIT_HBUDGET = GraphConfig(n_sites=5, max_pages=40, batch_size=16,
 # on constructed ring states)
 UNIT_CLOCK = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
                          batch_size=8, max_cycles=8, frontier_cap=14)
+# C39 ∘ C21 composition: after cycle 4 the 6 lexicographically-first
+# seen URLs reseed — two of them were clock-EVICTED earlier, so their
+# fresh incarnations must queue while the evicted rows stay dead
+# (incarnation-keyed tombstones; a url-keyed tombstone would shadow
+# the re-injection forever — the divergence this scenario pins)
+UNIT_CLKRS = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
+                         batch_size=8, max_cycles=8, frontier_cap=14,
+                         reseed_after=4, reseed_k=6)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,

@@ -132,6 +132,45 @@ def test_engine_matches_refsim_and_holds_cap(spark):
     assert pending.count() <= UNIT_CLOCK.frontier_cap
 
 
+def test_reseed_revives_evicted_incarnation(spark):
+    """C39 ∘ C21: tombstones are incarnation-keyed (url + seq) — a
+    reseeded victim that was evicted earlier re-queues as its fresh
+    incarnation and is re-fetched. A url-keyed tombstone would shadow
+    the re-injection forever (the divergence this test pins)."""
+    from crawlspark.synth import UNIT_CLKRS
+
+    ref = RefSim(UNIT_CLKRS).run()
+    # the scenario genuinely exercises the path: some victim was
+    # evicted before the reseed and fetched after it
+    ev_urls = {u for (u, c, _l) in ref.evictions if c <= UNIT_CLKRS.reseed_after}
+    refetched = {
+        u for (c, _p, u, *_r) in ref.order
+        if c > UNIT_CLKRS.reseed_after and u in ev_urls
+    }
+    assert refetched
+    eng = CrawlEngine(
+        spark, EngineConfig(graph=UNIT_CLKRS, warehouse=tempfile.mkdtemp())
+    )
+    eng.run(max_cycles=UNIT_CLKRS.reseed_after)
+    victims = [
+        r["url_norm"]
+        for r in eng.seen_set().orderBy("url_norm")
+        .limit(UNIT_CLKRS.reseed_k).collect()
+    ]
+    eng.reseed(victims)
+    eng.run()
+    got = [
+        (r["cycle_id"], r["batch_pos"], r["url_norm"], r["host"], r["score"],
+         r["seq"], r["depth"], r["attempt"], r["ok"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == [tuple(t) for t in ref.order]
+    assert sorted(
+        (r["url_norm"], r["cycle_id"], r["lap"])
+        for r in eng.cat.read("evictions").collect()
+    ) == sorted(ref.evictions)
+
+
 def test_resume_exact(spark):
     wh = tempfile.mkdtemp()
     eng1 = CrawlEngine(spark, EngineConfig(graph=UNIT_CLOCK, warehouse=wh))
