@@ -53,8 +53,10 @@ def clock_sweep(
     lap (1 = unreferenced, 2 = evicted after its second chance on the
     wrapped lap), the surviving set-bits (referenced entries the hand
     never reached — everything it passed is cleared), and the seq the
-    next sweep resumes at. Exactly two driver actions (a count and a
-    one-row threshold collect; four when the lap wraps)."""
+    next sweep resumes at. One driver action (a combined
+    count+threshold aggregate; one more when the lap wraps), plus the
+    ranks' own per-partition-count collects on the distributed
+    path."""
     p = (
         pend.join(ref_state.withColumn("_r", F.lit(True)), KEYS, "left")
         .withColumn("ref", F.coalesce(F.col("_r"), F.lit(False)))
@@ -70,15 +72,23 @@ def clock_sweep(
     _SCRATCH.append(p)
     ring = ["ring0", "seq"]
     unref = p.filter(~F.col("ref"))
-    z = unref.count()
+    ranked = rank_seq(unref, 0, ring, distributed, out_col="_rpos")
+    # ONE action yields both the unreferenced count z (max rank) and
+    # the lap-1 threshold (the n_evict-th entry's ring position) —
+    # sweeps run at micro-batch cadence, so every saved driver action
+    # is a task wave
+    th = ranked.agg(
+        F.coalesce(F.max("_rpos"), F.lit(0)).alias("z"),
+        F.max(F.when(F.col("_rpos") == n_evict, F.col("ring0"))).alias("r0"),
+        F.max(F.when(F.col("_rpos") == n_evict, F.col("seq"))).alias("s"),
+    ).collect()[0]
+    z = int(th["z"])
     if n_evict <= z:
         # lap 1 alone: evict the first n_evict unreferenced entries in
         # ring order; the hand stops at the n_evict-th, so referenced
         # entries BEFORE it lose their bit and ones beyond keep it
-        ranked = rank_seq(unref, 0, ring, distributed, out_col="_rpos")
-        th = ranked.filter(F.col("_rpos") == n_evict).select(*ring).collect()[0]
-        before = (F.col("ring0") < th["ring0"]) | (
-            (F.col("ring0") == th["ring0"]) & (F.col("seq") < th["seq"])
+        before = (F.col("ring0") < th["r0"]) | (
+            (F.col("ring0") == th["r0"]) & (F.col("seq") < th["s"])
         )
         evicted = (
             ranked.filter(F.col("_rpos") <= n_evict)
@@ -86,7 +96,7 @@ def clock_sweep(
             .withColumn("lap", F.lit(1))
         )
         bits_kept = p.filter(F.col("ref") & ~before).select(*KEYS)
-        return evicted, bits_kept, int(th["seq"]) + 1
+        return evicted, bits_kept, int(th["s"]) + 1
     # the first lap runs dry: all z unreferenced entries evict, every
     # referenced entry is passed (bit cleared), and the wrapped hand
     # takes the first n_evict - z survivors in the same ring order
