@@ -48,6 +48,7 @@ provably-unchanged working-state writes be skipped entirely.
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -65,6 +66,25 @@ FRONTIER_COLS = [
     "url_norm", "url_hash", "host", "host_salt", "depth",
     "site_priority", "score", "seq", "discovered_from", "cycle_id",
 ]
+
+# Graphs at or under this many pages (n_sites × max_pages) are
+# "unit tier": contract scenarios whose whole state fits one task.
+# Their wall time is pure per-job scheduling overhead, so the engine
+# right-sizes the session while ITS jobs run (see CrawlEngine._tuned).
+UNIT_TIER_PAGES_MAX = 4096
+
+
+def _tuned_method(fn):
+    """Run an engine entry point under the engine's session tuning
+    (reentrant — nested calls inherit the outermost window)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        with self._tuned():
+            return fn(self, *a, **kw)
+
+    return wrapper
 
 
 @dataclass
@@ -98,6 +118,12 @@ class EngineConfig:
     # Bounds warehouse growth on long crawls: without it every cycle's
     # pre-fold file set stays referenced by old manifests forever.
     expire_keep_last: int = 0
+    # right-size session confs (shuffle width, AQE) while unit-tier
+    # scenario cycles run — results are parallelism-independent
+    # (tests/test_refsim_equivalence.py pins it), so this is pure
+    # harness-cost control. The parallelism-determinism gate itself
+    # switches it off to keep its width override meaningful.
+    auto_tune: bool = True
 
 
 class CrawlEngine:
@@ -117,6 +143,94 @@ class CrawlEngine:
         self.cfg = cfg
         self.cat = Catalog(spark, cfg.warehouse)
         self.max_seq: int = 0
+        self._tune_depth: int = 0
+
+    # -- session right-sizing -------------------------------------------------
+
+    @contextmanager
+    def _tuned(self):
+        """Unit-tier scenario crawls (≤ UNIT_TIER_PAGES_MAX pages) are
+        fixed-cost-bound: every cycle's state fits one task, so wall
+        time is the NUMBER of scheduled jobs × per-job latency, and a
+        32-way shuffle width plus AQE's extra re-optimization job
+        rounds only multiply that latency (measured: UNIT_CLOCK 8
+        cycles ~100s at width 32 + AQE vs ~74s at width 8, AQE off,
+        same machine load — commit phase on sweep cycles 8-22s → 3.6s).
+        Results are parallelism-independent (determinism gates in
+        tests/test_refsim_equivalence.py), so this changes cost only.
+        Confs are restored on exit; BENCH/DESIGN/T2-tier graphs and
+        engines with auto_tune=False are untouched."""
+        g = self.cfg.graph
+        if (
+            self._tune_depth
+            or not self.cfg.auto_tune
+            or g.n_sites * g.max_pages > UNIT_TIER_PAGES_MAX
+        ):
+            self._tune_depth += 1
+            try:
+                yield
+            finally:
+                self._tune_depth -= 1
+            return
+        conf = self.spark.conf
+        keys = ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+        saved = {k: conf.get(k) for k in keys}
+        self._tune_depth += 1
+        try:
+            width = min(int(saved["spark.sql.shuffle.partitions"]), 8)
+            conf.set("spark.sql.shuffle.partitions", str(width))
+            conf.set("spark.sql.adaptive.enabled", "false")
+            yield
+        finally:
+            self._tune_depth -= 1
+            for k, v in saved.items():
+                conf.set(k, v)
+
+    # -- snapshot branching ---------------------------------------------------
+
+    @classmethod
+    def branch_from(
+        cls, base: "CrawlEngine", cycle_id: int, cfg: EngineConfig
+    ) -> "CrawlEngine":
+        """C22 snapshot branching: fork a crawl's warehouse at a past
+        cycle and continue it under ``cfg`` — the Iceberg
+        branch + rollback analogue. The fork copies the warehouse
+        (manifests + immutable data dirs), points ``_CURRENT`` at the
+        requested cycle's snapshot, and drops later manifests plus the
+        data dirs they staged (exactly what expire_snapshots would GC
+        after a rollback), so continuation staging can never collide.
+        Because a cycle's output is a deterministic function of (graph,
+        committed state, max_seq), the branch's continuation is
+        bit-identical to a from-scratch crawl sharing the prefix —
+        asserted against the sequential twin in
+        tests/test_clock_eviction.py (q155's UNIT_CLKRS runs this way:
+        its pre-reseed cycles ARE UNIT_CLOCK's, so the harness forks
+        the shared crawl instead of re-crawling four cycles)."""
+        import re
+        import shutil
+        from pathlib import Path
+
+        src, dst = Path(base.cfg.warehouse), Path(cfg.warehouse)
+        target = base.cat.snapshot_for_cycle(cycle_id)
+        if target is None:
+            raise ValueError(f"no snapshot for cycle {cycle_id}")
+        shutil.copytree(src, dst, dirs_exist_ok=True)
+        fork_id = int(target["id"])
+        for p in (dst / "snapshots").glob("s*.json"):
+            if int(p.stem[1:]) > fork_id:
+                p.unlink()
+        pat = re.compile(r"^s(\d{6})-\d+$")
+        for d in sorted((dst / "data").glob("*/s*")):
+            m = pat.match(d.name)
+            if m and int(m.group(1)) > fork_id:
+                shutil.rmtree(d, ignore_errors=True)
+        marker = dst / "_SEEN_MIRROR"
+        if marker.exists():
+            marker.unlink()  # mirror names are warehouse-keyed; rebuild
+        (dst / "_CURRENT").write_text(f"s{fork_id:06d}.json")
+        eng = cls(base.spark, cfg)
+        eng.bootstrap()  # restore max_seq from the fork snapshot's meta
+        return eng
 
     # -- helpers -------------------------------------------------------------
 
@@ -254,6 +368,7 @@ class CrawlEngine:
 
     # -- cycle 0: seed bootstrap ----------------------------------------------
 
+    @_tuned_method
     def bootstrap(self) -> dict:
         """Idempotent: resumes from the last committed snapshot if one
         exists (C16 exact resume), else seeds cycle 0."""
@@ -367,6 +482,7 @@ class CrawlEngine:
 
     # -- one micro-cycle --------------------------------------------------------
 
+    @_tuned_method
     def run_cycle(self, c: int) -> dict:
         t0 = time.time()
         g = self.cfg.graph
@@ -666,7 +782,7 @@ class CrawlEngine:
         # runs; the extra sched_rows slices decide which working-state
         # writes can be skipped as provably-unchanged this cycle.
         _T = ("t_sched", "t_cand", "t_novel", "t_docs", "t_failr", "t_exh",
-              "t_inflight", "t_redir")
+              "t_inflight", "t_redir", "t_ref")
 
         def tag(df, col):
             return df.select(
@@ -690,12 +806,49 @@ class CrawlEngine:
             (~F.col("ok") & (F.col("attempt") >= g.max_retries)).cast("int").alias("t_exh"),
             (F.col("attempt") > 1).cast("int").alias("t_inflight"),
             (F.col("ok") & F.col("redirected")).cast("int").alias("t_redir"),
+            F.lit(0).alias("t_ref"),
         )
         tagged = (
             sched_tags
             .unionByName(tag(cand, "t_cand"))
             .unionByName(tag(novel_probed, "t_novel"))
         )
+        # fold this cycle's fetch outcomes into working state (all
+        # inputs ≤ batch-size rows): tombstones for done/exhausted,
+        # updated fail counts for retryables — the MERGE INTO analogue.
+        # (Defined pre-stats so the C39 ref-bit probe below can count
+        # its rows inside the SAME tagged aggregate.)
+        succeeded = sched_rows.filter(F.col("ok")).select(*keys)
+        failed = sched_rows.filter(~F.col("ok")).select(*keys, "attempt")
+        resolved_delta = (
+            succeeded.unionByName(
+                failed.filter(F.col("attempt") >= g.max_retries).select(*keys)
+            )
+            .withColumn("cycle_id", F.lit(c).cast("long"))
+        )
+        ref_probe = None
+        if g.frontier_cap is not None:
+            # C39 reference-bit delta: a candidate whose URL was seen at
+            # cycle START and is still pending (queued minus this
+            # cycle's resolutions) re-discovered a live frontier entry —
+            # it earns one second chance. Novel rows can never match
+            # (novel ≡ not-in-url_seen), so the pending union's novel
+            # branch is omitted here. Counting the rows as one more tag
+            # column in the SAME stats aggregate lets the between-sweep
+            # ref_bits append be skipped on the (common) empty-delta
+            # cycles without any extra driver action.
+            ref_probe = (
+                cand.select("host_salt", *keys)
+                .join(url_seen.select(*keys), keys, "left_semi")
+                .join(
+                    queued.select(*keys).join(
+                        resolved_delta.select(*keys), keys, "left_anti"
+                    ),
+                    keys,
+                    "left_semi",
+                )
+            )
+            tagged = tagged.unionByName(tag(ref_probe, "t_ref"))
         # ONE driver action over CACHED frames yields every remaining
         # counter and materializes cand/novel_probed/sched_rows for the
         # staged writes — queued counts already arrived via the
@@ -727,17 +880,6 @@ class CrawlEngine:
             .persist()
         )
 
-        # fold this cycle's fetch outcomes into working state (all
-        # inputs ≤ batch-size rows): tombstones for done/exhausted,
-        # updated fail counts for retryables — the MERGE INTO analogue.
-        succeeded = sched_rows.filter(F.col("ok")).select(*keys)
-        failed = sched_rows.filter(~F.col("ok")).select(*keys, "attempt")
-        resolved_delta = (
-            succeeded.unionByName(
-                failed.filter(F.col("attempt") >= g.max_retries).select(*keys)
-            )
-            .withColumn("cycle_id", F.lit(c).cast("long"))
-        )
         retry_new = (
             retry.join(sched_rows.select(*keys), keys, "left_anti")
             .unionByName(
@@ -753,6 +895,7 @@ class CrawlEngine:
         # cycle = queued-at-start − resolved-this-cycle + novel.
         ref_writes: list = []
         if g.frontier_cap is not None:
+            n_ref = sum(r["s_ref"] for r in stat_rows)
             n_pending = (
                 int(sum(q_in[f"s{i}"] or 0 for i in range(self.cfg.n_salt)))
                 - (n_sched - n_fail_retryable)
@@ -763,14 +906,10 @@ class CrawlEngine:
                 .join(resolved_delta.select(*keys), keys, "left_anti")
                 .unionByName(novel_rows.select("url_hash", "url_norm", "seq"))
             )
-            # reference-bit delta: a candidate whose URL was seen at
-            # cycle START and is still pending re-discovered a live
-            # frontier entry — that entry earns one second chance
-            # (refsim: cyc_cands ∩ earlier-cycle seen ∩ queued)
+            # the ref-bit delta rows were already located (and counted,
+            # s_ref) by the stats aggregate's probe — reuse its frame
             ref_delta = (
-                cand.select(*keys)
-                .join(url_seen.select(*keys), keys, "left_semi")
-                .join(pend.select(*keys), keys, "left_semi")
+                ref_probe.select(*keys)
                 .withColumn("cycle_id", F.lit(c).cast("long"))
             )
             if n_pending > g.frontier_cap:
@@ -794,8 +933,10 @@ class CrawlEngine:
                      self.spark.createDataFrame([(int(new_hand), c)], CLOCK_STATE),
                      None),
                 ]
-            elif n_cand:
-                # bits accumulate between sweeps as append-only deltas
+            elif n_ref:
+                # bits accumulate between sweeps as append-only deltas;
+                # s_ref (from the stats aggregate) proves emptiness on
+                # the common no-rediscovery cycle, so no write stages
                 ref_writes = [("append", "ref_bits", ref_delta, None)]
 
         # politeness carry-over: ONLY buckets that spent tokens get a
@@ -1012,6 +1153,7 @@ class CrawlEngine:
 
     # -- driver loop --------------------------------------------------------------
 
+    @_tuned_method
     def run(self, max_cycles: int | None = None) -> list[dict]:
         snap = self.bootstrap()
         start = snap["cycle_id"] + 1
@@ -1026,6 +1168,7 @@ class CrawlEngine:
                 self.fold_state()
         return stats
 
+    @_tuned_method
     def fold_state(self) -> dict:
         """Periodic state fold (Iceberg MERGE-compaction analogue), one
         atomic commit: resolved tombstones are folded into the frontier
@@ -1070,6 +1213,7 @@ class CrawlEngine:
             self.cat.expire_snapshots(self.cfg.expire_keep_last)
         return folded
 
+    @_tuned_method
     def forget(self, urls) -> dict:
         """Drop URLs from the crawl's seen identity (re-crawl
         scheduling, takedown, TTL expiry): one atomic commit removes
@@ -1150,6 +1294,7 @@ class CrawlEngine:
         # rebuilt lazily on the next cycle's _ensure_seen_mirror
         return {"forgotten": n}
 
+    @_tuned_method
     def reseed(self, urls) -> dict:
         """Active re-crawl: re-queue URLs for fetching regardless of
         seen state. forget() first drops their old identity, then they
@@ -1223,6 +1368,7 @@ class CrawlEngine:
         schedule.release_scratch()
         return {"reseeded": n}
 
+    @_tuned_method
     def revisit(self, min_age: int) -> dict:
         """C25 freshness re-crawl: re-queue every URL whose LAST
         successful fetch is ≥ ``min_age`` cycles old — the periodic
@@ -1252,6 +1398,7 @@ class CrawlEngine:
         out = self.reseed(due)
         return {"revisited": out["reseeded"]}
 
+    @_tuned_method
     def revisit_from_sitemaps(self) -> dict:
         """C25∘C26 sitemap-driven selective revisit: re-fetch the
         stored sitemap documents (fresh <lastmod> assertions as-of the

@@ -1156,7 +1156,14 @@ def _engine_clkrs(spark) -> CrawlEngine:
     """UNIT_CLKRS scenario: the capped crawl runs 4 cycles, the 6
     lexicographically-first seen URLs (two of them clock-evicted
     earlier) reseed, then the crawl finishes — the C39 ∘ C21
-    composition."""
+    composition. UNIT_CLKRS differs from UNIT_CLOCK only in the
+    reseed knobs, which the engine itself never reads — its
+    pre-reseed cycles are bit-identical to UNIT_CLOCK's — so the
+    harness BRANCHES the shared UNIT_CLOCK crawl at the reseed cycle
+    (CrawlEngine.branch_from, the C22 snapshot-rollback fork) instead
+    of re-crawling four cycles; the continuation is deterministic and
+    equal to the from-scratch run (asserted in
+    tests/test_clock_eviction.py)."""
     from . import pin_session
 
     pin_session(spark)
@@ -1165,8 +1172,10 @@ def _engine_clkrs(spark) -> CrawlEngine:
         from ..synth import UNIT_CLKRS
 
         wh = tempfile.mkdtemp(prefix="crawlspark-q-")
-        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_CLKRS, warehouse=wh))
-        eng.run(max_cycles=UNIT_CLKRS.reseed_after)
+        eng = CrawlEngine.branch_from(
+            _engine_clock(spark), UNIT_CLKRS.reseed_after,
+            EngineConfig(graph=UNIT_CLKRS, warehouse=wh),
+        )
         victims = [
             r["url_norm"]
             for r in eng.seen_set().orderBy("url_norm")

@@ -171,6 +171,43 @@ def test_reseed_revives_evicted_incarnation(spark):
     ) == sorted(ref.evictions)
 
 
+def test_branch_from_equals_from_scratch(spark):
+    """C22 ∘ C39: forking a completed UNIT_CLOCK crawl at the reseed
+    cycle (CrawlEngine.branch_from) and continuing under UNIT_CLKRS
+    reproduces the from-scratch UNIT_CLKRS run exactly (refsim order +
+    eviction log — the same oracle test_reseed_revives_evicted_
+    incarnation pins for the from-scratch path). This is the fork the
+    q155 harness uses instead of re-crawling the shared prefix."""
+    from crawlspark.synth import UNIT_CLKRS
+
+    base = CrawlEngine(
+        spark, EngineConfig(graph=UNIT_CLOCK, warehouse=tempfile.mkdtemp())
+    )
+    base.run()
+    eng = CrawlEngine.branch_from(
+        base, UNIT_CLKRS.reseed_after,
+        EngineConfig(graph=UNIT_CLKRS, warehouse=tempfile.mkdtemp()),
+    )
+    victims = [
+        r["url_norm"]
+        for r in eng.seen_set().orderBy("url_norm")
+        .limit(UNIT_CLKRS.reseed_k).collect()
+    ]
+    eng.reseed(victims)
+    eng.run()
+    ref = RefSim(UNIT_CLKRS).run()
+    got = [
+        (r["cycle_id"], r["batch_pos"], r["url_norm"], r["host"], r["score"],
+         r["seq"], r["depth"], r["attempt"], r["ok"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == [tuple(t) for t in ref.order]
+    assert sorted(
+        (r["url_norm"], r["cycle_id"], r["lap"])
+        for r in eng.cat.read("evictions").collect()
+    ) == sorted(ref.evictions)
+
+
 def test_resume_exact(spark):
     wh = tempfile.mkdtemp()
     eng1 = CrawlEngine(spark, EngineConfig(graph=UNIT_CLOCK, warehouse=wh))

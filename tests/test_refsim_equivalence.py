@@ -124,7 +124,12 @@ def test_deterministic_across_parallelism(spark, tmp_path_factory, run_pair):
     spark.conf.set("spark.sql.shuffle.partitions", "13")
     try:
         wh = tmp_path_factory.mktemp("wh-par13")
-        eng2 = CrawlEngine(spark, EngineConfig(graph=UNIT, warehouse=str(wh)))
+        # auto_tune off: the engine's unit-tier session right-sizing
+        # would otherwise override the width-13 setting this gate is
+        # specifically exercising
+        eng2 = CrawlEngine(
+            spark, EngineConfig(graph=UNIT, warehouse=str(wh), auto_tune=False)
+        )
         eng2.run()
         assert engine_order(eng2) == res.order
     finally:
