@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .schedule import _SCRATCH, rank_seq
+from .schedule import rank_seq, register_scratch
 
 KEYS = ["url_hash", "url_norm"]
 
@@ -68,8 +68,10 @@ def clock_sweep(
     )
     # scratch-registered like rank_seq's range stage: the returned
     # frames are staged into the cycle's transaction, so the engine
-    # releases the cache only after the commit (release_scratch)
-    _SCRATCH.append(p)
+    # releases the cache only after the commit (schedule.
+    # release_scratch — library callers own that call, see
+    # register_scratch)
+    register_scratch(p)
     ring = ["ring0", "seq"]
     unref = p.filter(~F.col("ref"))
     ranked = rank_seq(unref, 0, ring, distributed, out_col="_rpos")

@@ -74,6 +74,18 @@ SMALL_BATCH_MAX = 65536
 _SCRATCH: list[DataFrame] = []
 
 
+def register_scratch(df: DataFrame) -> DataFrame:
+    """Register an already-persisted frame into the current scratch
+    set — the PUBLIC registration point for operators (e.g. the clock
+    sweep) whose persisted temporaries must survive until the caller
+    materializes the cycle's transaction. Library users composing
+    those operators outside CrawlEngine.run_cycle own the release:
+    call release_scratch() after the consuming action, exactly as the
+    engine does at commit."""
+    _SCRATCH.append(df)
+    return df
+
+
 def release_scratch() -> None:
     for df in _SCRATCH:
         df.unpersist()

@@ -1254,9 +1254,15 @@ def weighted_sample_wor(
     + a k-row driver merge), never a full sort. Weights are clamped to
     [1, w_max]: ticket cost is bounded by design, and a caller with
     heavier-tailed weights tiers them into [1, w_max] first."""
+    # coalesce BEFORE clamping: Spark's least/greatest skip nulls, so
+    # least(w_max, NULL) would be w_max — a missing weight must degrade
+    # to the minimum tier (1 ticket), not the maximum (SQL152 mirrors)
     w = F.greatest(
         F.lit(1).cast("long"),
-        F.least(F.lit(w_max).cast("long"), F.col(weight_col).cast("long")),
+        F.least(
+            F.lit(w_max).cast("long"),
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(1).cast("long")),
+        ),
     )
     pri = F.array_min(
         F.transform(

@@ -370,7 +370,7 @@ def _tables(res: RefSimResult, cfg: GraphConfig) -> dict[str, tuple[list[str], s
     # q154: the clock-eviction log (C39) — every sweep victim with the
     # lap that took it (1 = unreferenced, 2 = evicted after its second
     # chance on the wrapped lap), straight from the sequential twin
-    q154 = [(u, c, lap) for (u, c, lap) in res.evictions]
+    q154 = list(res.evictions)
     q136 = _hits(res.edges, iterations=6)
     # q138: seeds = the depth-0 scheduled fetches (the crawl's entry
     # contract), distances over the discovered link graph

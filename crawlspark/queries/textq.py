@@ -1667,7 +1667,7 @@ def q133_data_budget(spark, sf):
     )
 
 
-SQL133 = f"""
+SQL133 = rf"""
 WITH per AS (
   SELECT source,
          CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens,
@@ -2038,7 +2038,7 @@ SELECT doc_id, w, priority FROM (
          list_min(list_transform(generate_series(1, CAST(w AS INT)),
              j -> {_H("concat_ws('#', 'wsr1', CAST(doc_id AS VARCHAR), CAST(j AS VARCHAR))")})) AS priority
   FROM (SELECT doc_id,
-               CAST(1 + least(7, CAST(floor(n_chars / 64) AS BIGINT)) AS BIGINT) AS w
+               CAST(coalesce(1 + least(7, CAST(floor(n_chars / 64) AS BIGINT)), 1) AS BIGINT) AS w
         FROM documents))
 ORDER BY priority, doc_id LIMIT {_Q152_K}
 """
