@@ -27,112 +27,58 @@ _MODULES = [relational, textq, dedupq, simq, streamq, crawlq]
 # listed here or not — runs under tools/check_oracle.py, whose full
 # per-round report is committed (BENCH/ORACLE_REPORT_r*.txt).
 _WINDOW = [
-    # crawl engine (C1–C19 composed; the north-star contract) + every
-    # engine-feature contract: forget+cuckoo sidecar, time travel,
-    # trap guard, redirects, reseed (C21, new r4), robots-declared
-    # nested sitemaps (C26 ext, new r4), revisit/change-rates,
-    # flat sitemaps, backoff, authority feedback, frame sampling —
-    # the r3-tail crawl components rotate IN this round
+    # ---- round-5 rotation (VERDICT r4 "Next round" #1): the 26
+    # components green only in the committed full-registry/driver-sim
+    # reports enter the window to earn hard CORRECTNESS rows — C35
+    # (q130), C36 (q143), C37 (q145), C38 (q148), C39 (q153), R32
+    # (q147), R33 (q150), and P41–P59 (q124–q129, q132–q142, q151,
+    # q152); one query per distinct component, clock harness cost cut
+    # first (engine session right-sizing + the q155 branch fork).
+    # Displaced to the tail on their r4 hard rows (all 50 r4-window
+    # rows were green): q46/q47/q58/q66/q71/q72/q73/q76/q77/q86/q91/
+    # q93/q94/q99/q100/q105/q107/q108/q109/q110/q113/q114/q115/q117/
+    # q118/q119 — every displaced component's family keeps in-window
+    # machinery (crawl admission/politeness via q80–q83/q148/q153,
+    # BPE/text via q95/q129/q133, streaming via q90/q97, quantized
+    # re-rank via q64, span/dedup via q70/q106/q134) and stays
+    # full-registry-checked every round.
+    "q124_decontam_bloom", "q125_effective_tokens", "q126_anchor_text",
+    "q127_anchor_authority", "q128_source_cap", "q129_stride_chunks",
+    "q130_content_dedup", "q132_perplexity_bands", "q133_data_budget",
+    "q134_containment_pairs", "q135_epoch_shuffle", "q136_hits",
+    "q137_phrase_search", "q138_link_distance", "q139_semantic_dedup",
+    "q140_dsir_importance", "q141_html_extract", "q142_line_filter",
+    "q143_meta_robots", "q145_canonical_order", "q147_clustered_scan",
+    "q148_host_budget", "q150_orc_roundtrip", "q151_gopher_rules",
+    "q152_weighted_sample", "q153_clock_order",
+    # ---- retained from the r4 window (24 slots), one per distinct
+    # component, north-star surfaces leading:
+    # crawl engine (C1–C19 composed — the north-star contract) + the
+    # time-travel/resume (C16/C22), reseed (C21) and nested-sitemap
+    # (C26) engine contracts
     "q80_crawl_order", "q81_crawl_seen", "q82_crawl_docs",
     "q83_crawl_metrics",
     "q89_time_travel", "q78_reseed",
     "q79_sitemap_index",
-    # C34 anti-starvation priority aging (q115, first hard row) takes
-    # the slot of q85 pagerank (P16, hard r3 — the identical damped
-    # iteration runs in-window inside q77's authority-fed priority
-    # refresh, which composes operators/graph.pagerank)
-    "q115_priority_aging",
-    # C33 registered-domain politeness (q114, first hard row) takes
-    # the slot of q88 forget/re-crawl (C20, hard r3 — the identical
-    # forget + re-inject machinery runs in-window inside q78's
-    # reseed contract, which composes forget())
-    "q114_domain_politeness",
-    "q71_revisit_versions", "q72_change_rates", "q73_sitemap_seen",
-    "q76_backoff", "q77_priority_feedback", "q86_frame_sample",
-    # late-r4 crawl-scope/politeness/economy contracts enter for their
-    # first hard rows: C29/C30 depth-cap + URL deny patterns (q108),
-    # C31 Crawl-delay-driven token refill (q109), C32 conditional
-    # re-fetch economy (q110). They take the slots of q67 trap-guard
-    # (C23) and q68 redirects (C24), both hard-green in r3 — the same
-    # admission-point machinery (scope_filter sits exactly where
-    # pattern_cap and robots rejection do) runs in-window via q108.
-    "q108_crawl_scope", "q109_delay_politeness",
-    "q110_conditional_fetch",
-    # streaming S1–S9 (q94 streaming dedup rotated in r4; q97
-    # stream-stream join and q107 stream-static enrichment are new r4)
-    "q90_stream_window_rates", "q91_stream_sessions",
-    "q93_crawl_stream_rates",
-    "q94_stream_distinct", "q97_stream_join", "q107_stream_enrich",
-    # P39 distributed BPE merge learning (q117, first hard row) takes
-    # the slot of q92 stream token buckets (S5, hard r3 — the
-    # streaming family keeps six in-window representatives
-    # q90/q91/q93/q94/q97/q107; S5 stays full-registry-checked)
-    "q117_bpe_merges",
-    # P40 BPE apply/tokenize (q118, first hard row) takes the slot of
-    # q52 near-dup pairs (P3, hard-green r1+r2+r3 — the identical
-    # band self-join + exact-Jaccard-verify machinery runs in-window
-    # inside q106's pair stage and q70's incremental probe)
-    "q118_bpe_tokenize",
-    # similarity P8 + P34: IVF coarse-quantizer and the new SQ8
-    # int8-quantized scan (q105, first hard row). The band-OR LSH
-    # variant (q63) rotates to the tail on its r3 hard row — the
-    # banded-candidate + exact-re-rank machinery it exercised runs
-    # in-window inside q64's probe/re-rank and q106's band join; the
-    # exact baseline (q60) and single-table/multi-probe variants
-    # (q61/q62) stay in the tail as before.
-    "q64_ann_ivf", "q105_quantized_topk",
-    # dedup P3→P17, P28 + the new P35 leakage-safe corpus split
-    # (q106, first hard row — composes the q52 band join and q56
-    # min-label clustering in-window) + the new P37 exact-substring
-    # span dedup (q113, first hard row). The signature-intermediate
-    # variants (q51/q53/q55) stay in the tail; q52 near-dup pairs
-    # (P3, hard r1+r2+r3 — its band join + exact verify run in-window
-    # inside q106/q70), q54 simhash pairs (P4/P5), q57 embedding
-    # near-dups (P19), q59 chunk dedup (P25) and q56 clusters (P17 —
-    # its min-label propagation runs in-window inside q106's
-    # connected-components stage) rotate to the tail on their hard
-    # rows.
+    # streaming representatives (S1/S3 windowed rates, S8
+    # stream-stream join); the other S-components' r4 hard rows stand
+    "q90_stream_window_rates", "q97_stream_join",
+    # similarity: IVF ANN probe + exact re-rank (P8 composition)
+    "q64_ann_ivf",
+    # dedup: incremental band-index dedup (P28) and the leakage-safe
+    # split (P35 — composes the q52 band join + q56 clustering)
     "q70_incremental_dedup", "q106_leakage_safe_split",
-    "q113_span_dedup",
-    # text/LLM pipeline. New r4 first-class components enter: P30
-    # curation pipeline (q95 — which composes P9 lang-ID, P10 quality,
-    # P11 token counting and P1 dedup in-window, letting their
-    # dedicated queries q40/q41/q42 rotate to the tail with r2+r3 hard
-    # rows), P31 TF-IDF (q99), R29 WARC export (q100). q43
-    # fingerprinting rotates out on its r2+r3 hard rows.
-    "q95_curation", "q99_tfidf", "q100_warc_export",
-    # R31 WebDataset-style tar shard export (q119, first hard row —
-    # hand-rolled-USTAR format differential) takes the slot of q48
-    # LM-quality scoring (P22, hard r3 — its word-gram substrate and
-    # partial-agg model machinery run in-window inside q46 repetition,
-    # q47 contamination and q49 BM25)
-    "q119_wds_shards",
-    "q46_repetition", "q47_contamination",
-    "q49_bm25", "q58_seq_packing",
-    "q66_boilerplate", "q69_mixture", "q74_pii_scrub",
+    # text/LLM pipeline: the P30 curation composition (carries P1/P9/
+    # P10/P11 in-window), BM25 (P23), mixture resampling (P27), PII
+    # scrubbing (P29), shard manifest (R26), compression quality
+    # (P36), token-budget selection (P38)
+    "q95_curation", "q49_bm25", "q69_mixture", "q74_pii_scrub",
     "q75_shard_manifest",
-    # P36 compression-ratio quality (q111, first hard row) takes the
-    # slot of q65 exact percentiles (R25, hard-green r3; percentile
-    # machinery stays full-registry-checked in the tail); P38
-    # token-budgeted corpus selection (q116, first hard row —
-    # distributed two-phase prefix sum) takes the slot of q84 media
-    # features (P14, hard r3 — the identical multimodal decode
-    # pipeline runs in-window inside q86's frame sampling)
     "q111_compression_quality", "q116_budget_select",
-    # new late-r4 first-class components: P32 cross-document media
-    # dedup over the interleaved payload (q102, refsim oracle) and
-    # P33 domain-level quality with empirical-Bayes shrinkage (q103).
-    # They take the slots of q03/q25 (hard-green r1/r2+r3; the
-    # broadcast-join and as-of machinery they exercised stays
-    # in-window inside q26/q96/q98 and the crawl queries)
+    # cross-document media dedup (P32) + EB domain quality (P33)
     "q102_media_dedup", "q103_domain_quality",
-    # relational representatives: R27 profiling, R28 skew join, and
-    # the new R30 WARC ingestion round-trip (q112, first hard row —
-    # it takes the slot of q26 bucketed anti-join, hard-green in BOTH
-    # r2 and r3; the anti-join machinery runs in-window inside every
-    # crawl query's seen filter). The relational rows hard-green in
-    # both r2 and r3 (q03/q25 among them) are in the tail — still
-    # full-registry-checked every round
+    # relational representatives: R27 profiling, R28 skew join, R30
+    # WARC ingestion round-trip
     "q96_profile", "q98_skew_join", "q112_warc_roundtrip",
 ]
 
