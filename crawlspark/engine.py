@@ -139,6 +139,10 @@ class CrawlEngine:
             raise ValueError(
                 "pattern_budget and host_page_budget are not combinable"
             )
+        if cfg.graph.frontier_cap is not None and not (
+            0 <= cfg.graph.frontier_slack < cfg.graph.frontier_cap
+        ):
+            raise ValueError("frontier_slack must satisfy 0 <= slack < cap")
         self.spark = spark
         self.cfg = cfg
         self.cat = Catalog(spark, cfg.warehouse)
@@ -919,8 +923,13 @@ class CrawlEngine:
                     .unionByName(ref_delta.select(*keys))
                     .distinct()
                 )
+                # low-water hysteresis (frontier_slack, default 0):
+                # evict down to cap − slack so a frontier whose novel
+                # arrivals re-cross the cap each cycle sweeps every
+                # ~slack/novel-rate cycles instead of every cycle
                 evicted, bits_kept, new_hand = clock.clock_sweep(
-                    pend, ref_state, n_pending - g.frontier_cap,
+                    pend, ref_state,
+                    n_pending - g.frontier_cap + g.frontier_slack,
                     self._clock_hand(snap),
                     distributed=n_pending > schedule.SMALL_BATCH_MAX,
                 )

@@ -1201,6 +1201,39 @@ def q155_clock_reseed(spark, sf):
     )
 
 
+def _engine_clocklw(spark) -> CrawlEngine:
+    """UNIT_CLOCKLW crawl: the capped frontier with low-water-mark
+    hysteresis (evict to cap − slack = 8) — sweeps fire on fewer
+    cycles but evict deeper, the amortization posture of a
+    continuously-capped production frontier."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-clocklw"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_CLOCKLW
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_CLOCKLW, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q156_clock_lowwater(spark, sf):
+    """C39 low-water-mark variant through the driver's harness: with
+    eviction depth cap − slack the sweep CADENCE and the eviction SETS
+    both change (deeper sweeps take entries the slack-0 twin kept, and
+    the ring hand advances further per sweep), so the full attempt
+    order diverges from q153's and must match the refsim running the
+    identical hysteresis rule. Oracle: the UNIT_CLOCKLW refsim's q80
+    table."""
+    return _engine_clocklw(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
 def q154_evictions(spark, sf):
     """C39's audit log: every sweep victim with the cycle and the lap
     that took it (1 = unreferenced, 2 = evicted after its second
@@ -1255,6 +1288,7 @@ QUERIES = {
     "q153_clock_order": q153_clock_order,
     "q154_evictions": q154_evictions,
     "q155_clock_reseed": q155_clock_reseed,
+    "q156_clock_lowwater": q156_clock_lowwater,
 }
 
 ORACLE: dict[str, str] = {}
@@ -1385,4 +1419,9 @@ def build_oracle() -> dict[str, str]:
     from ..synth import UNIT_CLKRS
 
     sql["q155_clock_reseed"] = build_crawl_oracles(UNIT_CLKRS)["q80_crawl_order"]
+    # q156: the low-water-mark hysteresis variant — both twins share
+    # the evict-to-(cap − slack) rule through GraphConfig
+    from ..synth import UNIT_CLOCKLW
+
+    sql["q156_clock_lowwater"] = build_crawl_oracles(UNIT_CLOCKLW)["q80_crawl_order"]
     return sql

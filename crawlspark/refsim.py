@@ -343,10 +343,13 @@ class RefSim:
                     if u in queued and seen.get(u, c) < c:
                         refbit.add(u)
                 if len(queued) > cfg.frontier_cap:
+                    # low-water hysteresis (frontier_slack, default 0):
+                    # evict down to cap − slack so the next sweep fires
+                    # only after ~slack novel admissions
                     evicted, protected, clock_hand = clock_sweep_py(
                         [(u, tup[1]) for u, tup in queued.items()],
                         refbit,
-                        len(queued) - cfg.frontier_cap,
+                        len(queued) - cfg.frontier_cap + cfg.frontier_slack,
                         clock_hand,
                     )
                     res.protections.extend((u, c) for u in protected)

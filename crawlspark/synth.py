@@ -94,6 +94,15 @@ class GraphConfig:
     # accepted them once and simply never fetches them, the standard
     # bounded-frontier discard. None = unbounded (default).
     frontier_cap: int | None = None
+    # C39 low-water-mark hysteresis: when a sweep fires (pending >
+    # frontier_cap), evict down to frontier_cap − frontier_slack
+    # instead of exactly the cap. With slack 0 (default) a frontier
+    # whose novel arrivals re-cross the cap every cycle pays a sweep
+    # every cycle; with slack S the next sweep fires only after ~S
+    # novel admissions, amortizing the sweep's fixed cost over
+    # ~S/novel-rate cycles. The cap invariant (pending ≤ cap after
+    # the merge) is unchanged. Must satisfy 0 ≤ slack < cap.
+    frontier_slack: int = 0
     # redirect knob (C24): every redirect_every'th outlink (hash-picked
     # per (page, k)) is emitted as an ALIAS URL `/r{j}` on the target's
     # host; fetching the alias 301s to the canonical page (which may be
@@ -981,6 +990,14 @@ UNIT_CLOCK = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
 UNIT_CLKRS = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
                          batch_size=8, max_cycles=8, frontier_cap=14,
                          reseed_after=4, reseed_k=6)
+# C39 low-water-mark hysteresis: same ring, eviction depth cap−slack=8
+# — sweeps fire on FEWER cycles but evict DEEPER (the amortization
+# posture a continuously-capped production frontier wants; the sweep
+# cadence drop is asserted in tests/test_clock_eviction.py), and the
+# eviction/attempt orders measurably diverge from the slack-0 twin
+UNIT_CLOCKLW = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
+                           batch_size=8, max_cycles=8, frontier_cap=14,
+                           frontier_slack=6)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,

@@ -171,6 +171,55 @@ def test_reseed_revives_evicted_incarnation(spark):
     ) == sorted(ref.evictions)
 
 
+def test_low_water_mark_variant(spark):
+    """C39 frontier_slack: the engine matches the refsim under the
+    evict-to-(cap − slack) rule, the cap invariant still holds, and
+    the hysteresis actually amortizes — sweeps fire on strictly fewer
+    cycles than the slack-0 twin while the scenario still evicts."""
+    from crawlspark.synth import UNIT_CLOCKLW
+
+    ref = RefSim(UNIT_CLOCKLW).run()
+    ref0 = RefSim(UNIT_CLOCK).run()
+    lw_cycles = {c for (_u, c, _l) in ref.evictions}
+    base_cycles = {c for (_u, c, _l) in ref0.evictions}
+    assert ref.evictions, "scenario must evict"
+    assert len(lw_cycles) < len(base_cycles), "hysteresis must cut cadence"
+    eng = CrawlEngine(
+        spark, EngineConfig(graph=UNIT_CLOCKLW, warehouse=tempfile.mkdtemp())
+    )
+    eng.run()
+    got = [
+        (r["cycle_id"], r["batch_pos"], r["url_norm"])
+        for r in eng.crawl_order().collect()
+    ]
+    assert got == [(c, p, u) for (c, p, u, *_r) in ref.order]
+    assert sorted(
+        (r["url_norm"], r["cycle_id"], r["lap"])
+        for r in eng.cat.read("evictions").collect()
+    ) == sorted(ref.evictions)
+    # cap invariant: pending (queued-at-merge minus evictions) ≤ cap
+    keys = ["url_hash", "url_norm"]
+    frontier = eng.cat.read("frontier")
+    pending = (
+        frontier.join(eng.cat.read("resolved").select(*keys), keys, "left_anti")
+        .join(eng.cat.read("evictions").select(*keys), keys, "left_anti")
+    )
+    assert pending.count() <= UNIT_CLOCKLW.frontier_cap
+
+
+def test_frontier_slack_validation(spark):
+    with pytest.raises(ValueError):
+        CrawlEngine(
+            spark,
+            EngineConfig(
+                graph=dataclasses.replace(
+                    UNIT_CLOCK, frontier_slack=UNIT_CLOCK.frontier_cap
+                ),
+                warehouse=tempfile.mkdtemp(),
+            ),
+        )
+
+
 def test_branch_from_equals_from_scratch(spark):
     """C22 ∘ C39: forking a completed UNIT_CLOCK crawl at the reseed
     cycle (CrawlEngine.branch_from) and continuing under UNIT_CLKRS
