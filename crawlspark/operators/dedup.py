@@ -223,18 +223,57 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     )
 
 
+def minhash_wide(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """(id, m0..m{H-1}): the whole signature in ONE groupBy(id) — each
+    hash family is its own min aggregate, so the partial aggregation
+    combines map-side per column and the shuffle carries n_docs ROWS
+    (one wide row per doc) instead of n_docs × H long rows. The long
+    (id, j, minh) view explodes from this narrowly (minhash_signatures)
+    and the LSH band keys derive from it with NO further shuffle
+    (band_keys_wide)."""
+    return sh.groupBy("id").agg(*[
+        F.min(
+            md5hash60(F.concat_ws("#", F.lit(j), F.col("shingle")))
+        ).alias(f"m{j}")
+        for j in range(n_hashes)
+    ])
+
+
 def minhash_signatures(sh: DataFrame, n_hashes: int) -> DataFrame:
     """(id, j, minh): minh_j = min over shingles of md5-60(j || '#' || shingle).
 
-    The explode-by-j then partial-aggregate shape map-side combines
-    before the shuffle, so the shuffle carries n_docs × n_hashes rows,
-    not n_shingles × n_hashes."""
-    js = F.array(*[F.lit(j) for j in range(n_hashes)])
+    Long view of :func:`minhash_wide` — one groupBy(id) then a narrow
+    explode, bit-identical to aggregating (id, j) pairs directly."""
+    arr = F.array(*[
+        F.struct(F.lit(j).cast("int").alias("j"), F.col(f"m{j}").alias("minh"))
+        for j in range(n_hashes)
+    ])
     return (
-        sh.withColumn("j", F.explode(js))
-        .withColumn("h", md5hash60(F.concat_ws("#", F.col("j"), F.col("shingle"))))
-        .groupBy("id", "j")
-        .agg(F.min("h").alias("minh"))
+        minhash_wide(sh, n_hashes)
+        .select("id", F.explode(arr).alias("s"))
+        .select("id", F.col("s.j").alias("j"), F.col("s.minh").alias("minh"))
+    )
+
+
+def band_keys_wide(wide: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) computed NARROWLY from the wide signature
+    — zero shuffles past the one already inside minhash_wide.
+    band_hash = md5-60 of the band's '#'-joined minhash strings in j
+    order, identical to :func:`band_keys` over the long view."""
+    rows = n_hashes // bands
+    entries = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            md5hash60(F.concat_ws("#", *[
+                F.col(f"m{b * rows + r}").cast("string") for r in range(rows)
+            ])).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        wide.select("id", F.explode(F.array(*entries)).alias("s"))
+        .select("id", F.col("s.band").alias("band"),
+                F.col("s.band_hash").alias("band_hash"))
     )
 
 
@@ -257,13 +296,10 @@ def band_keys(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
-    """(i, j) candidate pairs sharing ≥1 LSH band (i < j).
-
-    band_hash = md5-60 of the band's concatenated minhashes; the
-    self-join shuffles on (band, band_hash) only."""
-    # both sides of the self-join read this once (n_docs × bands rows)
-    bandkey = band_keys(sig, n_hashes, bands)
+def _band_self_join(bandkey: DataFrame) -> DataFrame:
+    """(i, j) distinct pairs sharing ≥1 band bucket (i < j); the
+    self-join shuffles on (band, band_hash) only. Pass a MATERIALIZED
+    band-key frame — both sides read it."""
     other = bandkey.select(
         F.col("id").alias("id2"), F.col("band").alias("band2"), F.col("band_hash").alias("bh2")
     )
@@ -279,24 +315,40 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def lsh_candidate_pairs(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(i, j) candidate pairs sharing ≥1 LSH band (i < j).
+
+    band_hash = md5-60 of the band's concatenated minhashes; the
+    self-join shuffles on (band, band_hash) only."""
+    # both sides of the self-join read this once (n_docs × bands rows)
+    return _band_self_join(band_keys(sig, n_hashes, bands))
+
+
 def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard for candidate pairs only → (i, j, jac ≥ threshold).
 
-    Join shape: pairs ⋈ shingles(i) ⋈ shingles(j) on shingle equality —
-    cost ∝ candidates × shingles-per-doc, never all-pairs."""
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    shi = sh.select(F.col("id").alias("i"), "shingle")
-    shj = sh.select(F.col("id").alias("j2"), F.col("shingle").alias("shingle_j"))
-    inter = (
-        pairs.join(shi, "i")
-        .join(shj, (F.col("j") == F.col("j2")) & (F.col("shingle") == F.col("shingle_j")))
-        .groupBy("i", "j")
-        .agg(F.count("*").alias("inter"))
-    )
+    ONE groupBy(id) folds each doc's (already-distinct) shingles into
+    a set; the candidate frame — orders of magnitude smaller than the
+    shingle table — then joins the endpoint sets (Spark broadcasts the
+    small pairs side, so the sets never reshuffle) and the
+    intersection is computed NARROWLY with array_intersect. The
+    shingle table shuffles ONCE, vs twice-plus-sizes for the
+    per-endpoint shingle-equality join this replaces; cost stays
+    ∝ candidates × shingles-per-doc, never all-pairs. Set sizes are
+    bounded by document length, so rows stay task-sized at any corpus
+    scale."""
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("ss"))
+    si = sets.select(F.col("id").alias("i"), F.col("ss").alias("s_i"))
+    sj = sets.select(F.col("id").alias("j"), F.col("ss").alias("s_j"))
     return (
-        inter.join(sizes.select(F.col("id").alias("i"), F.col("n").alias("ni")), "i")
-        .join(sizes.select(F.col("id").alias("j"), F.col("n").alias("nj")), "j")
-        .withColumn("jac", F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter")))
+        pairs.join(si, "i")
+        .join(sj, "j")
+        .withColumn("inter", F.size(F.array_intersect("s_i", "s_j")))
+        .withColumn(
+            "jac",
+            F.col("inter")
+            / (F.size("s_i") + F.size("s_j") - F.col("inter")),
+        )
         .filter(F.col("jac") >= threshold)
         .select("i", "j", F.round("jac", 6).alias("jac"))
     )
@@ -425,8 +477,14 @@ def minhash_near_dups(
     ``shingle_table(df, id_col, text_col, k)``)."""
     if sh is None:
         sh = _materialize(shingle_table(df, id_col, text_col, k))
-    sig = minhash_signatures(sh, n_hashes)
-    cand = lsh_candidate_pairs(sig, n_hashes, bands)
+    # wide path: signature + band keys in ONE shuffle (minhash_wide),
+    # band hashing narrow (band_keys_wide) — the long-format
+    # minhash_signatures → band_keys chain spends a second groupBy for
+    # the identical keys
+    bandkey = _materialize(
+        band_keys_wide(minhash_wide(sh, n_hashes), n_hashes, bands)
+    )
+    cand = _band_self_join(bandkey)
     return jaccard_verify(cand, sh, threshold)
 
 
@@ -486,10 +544,10 @@ def incremental_near_dups(
     increment's ids); pairs are directed delta → corpus, so no i < j
     tie-break is involved."""
     dsh = _materialize(shingle_table(delta, id_col, text_col, k))
-    dkeys = band_keys(minhash_signatures(dsh, n_hashes), n_hashes, bands)
+    dkeys = band_keys_wide(minhash_wide(dsh, n_hashes), n_hashes, bands)
     if corpus_index is None:
-        corpus_index = band_keys(
-            minhash_signatures(
+        corpus_index = band_keys_wide(
+            minhash_wide(
                 shingle_table(corpus, id_col, text_col, k), n_hashes
             ),
             n_hashes, bands,
