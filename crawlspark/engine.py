@@ -143,6 +143,22 @@ class CrawlEngine:
             0 <= cfg.graph.frontier_slack < cfg.graph.frontier_cap
         ):
             raise ValueError("frontier_slack must satisfy 0 <= slack < cap")
+        if cfg.graph.host_frontier_quota is not None:
+            # C40 + C23/C38: a transient ring quota composed with a
+            # lifetime admission budget cannot reproduce the
+            # sequential joint accounting (a row one cap rejects must
+            # not consume the other's slot); the refsim refuses the
+            # combination identically
+            if (
+                cfg.graph.pattern_budget is not None
+                or cfg.graph.host_page_budget is not None
+            ):
+                raise ValueError(
+                    "host_frontier_quota is not combinable with "
+                    "pattern_budget / host_page_budget"
+                )
+            if cfg.graph.host_frontier_quota < 1:
+                raise ValueError("host_frontier_quota must be >= 1")
         self.spark = spark
         self.cfg = cfg
         self.cat = Catalog(spark, cfg.warehouse)
@@ -424,6 +440,17 @@ class CrawlEngine:
                 f0.withColumn("_hb", F.row_number().over(w_hb))
                 .filter(F.col("_hb") <= g.host_page_budget)
                 .drop("_hb")
+            )
+        if g.host_frontier_quota is not None:
+            # C40: the ring is empty at bootstrap, so the first
+            # `quota` seeds per host (seed-list order) fill each
+            # host's share; the rest stay unseen and may re-candidate
+            # once the host's queue drains
+            w_fq = Window.partitionBy("host").orderBy("pos")
+            f0 = (
+                f0.withColumn("_fq", F.row_number().over(w_fq))
+                .filter(F.col("_fq") <= g.host_frontier_quota)
+                .drop("_fq")
             )
         f0 = schedule.with_score(f0)
         # seed seq = seed-list position; rank distributed above ~64k
@@ -774,6 +801,25 @@ class CrawlEngine:
             )
             novel_probed = schedule.pattern_cap(
                 novel_probed, hprior, g.host_page_budget, keys=("host",)
+            )
+        if g.host_frontier_quota is not None:
+            # C40 per-host frontier quota (Mercator/Heritrix per-host
+            # queue bound): admit a host's discoveries only while its
+            # PENDING share — queued at cycle start + admissions this
+            # cycle, in arrival order — stays under the quota. Same
+            # admission point, stay-unseen accounting and two-phase
+            # salted cap as C23/C38, but the prior is the TRANSIENT
+            # ring occupancy (one count over the working-state queued
+            # frame), not a lifetime counter table: dropped URLs
+            # re-candidate and admit later once the host's queue
+            # drains. Composes with C39 (the sweep below sees the
+            # quota-shaped ring). Not combinable with C23/C38
+            # (guarded in __init__; the refsim refuses identically).
+            hpend = queued.groupBy("host").agg(
+                F.count("*").cast("long").alias("n_admitted")
+            )
+            novel_probed = schedule.pattern_cap(
+                novel_probed, hpend, g.host_frontier_quota, keys=("host",)
             )
         novel_probed = novel_probed.persist()
 

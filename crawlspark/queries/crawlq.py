@@ -1234,6 +1234,66 @@ def q156_clock_lowwater(spark, sf):
     )
 
 
+def _engine_quota(spark) -> CrawlEngine:
+    """UNIT_QUOTA crawl: each host's pending frontier share bounded at
+    5 — the dense mega-host's flood is admitted a few URLs per cycle
+    as its queue drains (C40)."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-quota"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_QUOTA
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_QUOTA, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q157_host_quota(spark, sf):
+    """C40 through the driver's harness: with per-host pending shares
+    bounded, over-quota discoveries stay unseen and re-candidate after
+    the host's queue drains, so the FULL attempt order diverges from
+    the unbounded twin and must match the refsim running the identical
+    start-of-cycle-snapshot admission rule. Oracle: the UNIT_QUOTA
+    refsim's q80 table."""
+    return _engine_quota(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
+def _engine_qclk(spark) -> CrawlEngine:
+    """UNIT_QCLK crawl: the C40 ∘ C39 composition — the quota shapes
+    the pending ring's per-host mix before the clock sweep bounds its
+    total."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-qclk"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_QCLK
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_QCLK, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q158_quota_clock(spark, sf):
+    """C40 ∘ C39 through the driver's harness: both admission points
+    active (per-host quota, then the global clock sweep), both engines
+    share both sequential rules — the composition's full attempt
+    order. Oracle: the UNIT_QCLK refsim's q80 table."""
+    return _engine_qclk(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
 def q154_evictions(spark, sf):
     """C39's audit log: every sweep victim with the cycle and the lap
     that took it (1 = unreferenced, 2 = evicted after its second
@@ -1289,6 +1349,8 @@ QUERIES = {
     "q154_evictions": q154_evictions,
     "q155_clock_reseed": q155_clock_reseed,
     "q156_clock_lowwater": q156_clock_lowwater,
+    "q157_host_quota": q157_host_quota,
+    "q158_quota_clock": q158_quota_clock,
 }
 
 ORACLE: dict[str, str] = {}
@@ -1424,4 +1486,11 @@ def build_oracle() -> dict[str, str]:
     from ..synth import UNIT_CLOCKLW
 
     sql["q156_clock_lowwater"] = build_crawl_oracles(UNIT_CLOCKLW)["q80_crawl_order"]
+    # q157/q158: C40 per-host frontier quota and its C39 composition —
+    # both twins share the start-of-cycle-snapshot admission rule (and,
+    # for q158, the clock sweep) through GraphConfig
+    from ..synth import UNIT_QCLK, UNIT_QUOTA
+
+    sql["q157_host_quota"] = build_crawl_oracles(UNIT_QUOTA)["q80_crawl_order"]
+    sql["q158_quota_clock"] = build_crawl_oracles(UNIT_QCLK)["q80_crawl_order"]
     return sql

@@ -142,6 +142,20 @@ class RefSim:
                 "two composed declarative caps cannot reproduce the "
                 "sequential joint accounting"
             )
+        if cfg.host_frontier_quota is not None and (
+            cfg.pattern_budget is not None or cfg.host_page_budget is not None
+        ):
+            raise ValueError(
+                "host_frontier_quota is not combinable with "
+                "pattern_budget / host_page_budget"
+            )
+        # C40 per-host frontier quota: pending share per host at cycle
+        # START + admissions so far this cycle (both twins key the rule
+        # on the start-of-cycle snapshot, so same-cycle drains free
+        # slots only NEXT cycle — the conservative, order-independent
+        # reading the engine's batch admission can reproduce)
+        hq_pending0: dict[str, int] = {}
+        cyc_hq_admits: dict[str, int] = {}
         seq = 0
         refbit: set[str] = set()           # C39: pending URLs re-discovered
         clock_hand = 0                     # C39: the sweep resumes at this seq
@@ -192,6 +206,16 @@ class RefSim:
                 if host_admits.get(host, 0) >= cfg.host_page_budget:
                     return
                 host_admits[host] = host_admits.get(host, 0) + 1
+            if cfg.host_frontier_quota is not None:
+                # C40: bound the host's share of the pending ring —
+                # stay-unseen like C23/C38 (the URL may re-candidate
+                # and admit later, once this host's queue has drained)
+                if (
+                    hq_pending0.get(host, 0) + cyc_hq_admits.get(host, 0)
+                    >= cfg.host_frontier_quota
+                ):
+                    return
+                cyc_hq_admits[host] = cyc_hq_admits.get(host, 0) + 1
             seen[u] = cycle
             if base is not None:
                 cyc_novel += 1
@@ -207,6 +231,14 @@ class RefSim:
             if not queued:
                 break
             urls_in = len(queued)
+            if cfg.host_frontier_quota is not None:
+                # C40: snapshot the per-host pending shares the cycle's
+                # admissions are judged against (engine: one count over
+                # the queued working-state frame)
+                hq_pending0.clear()
+                cyc_hq_admits.clear()
+                for _u, _tup in queued.items():
+                    hq_pending0[_tup[3]] = hq_pending0.get(_tup[3], 0) + 1
             allow = {}
             for p in cap:
                 tokens[p] = min(cap[p], tokens[p] + refill[p])

@@ -103,6 +103,19 @@ class GraphConfig:
     # ~S/novel-rate cycles. The cap invariant (pending ≤ cap after
     # the merge) is unchanged. Must satisfy 0 ≤ slack < cap.
     frontier_slack: int = 0
+    # C40 (per-host frontier quota): bound each host's SHARE of the
+    # pending frontier. A novel admission for a host whose
+    # pending-at-cycle-start + admissions-this-cycle already reach the
+    # quota stays UNSEEN (counts as deduped; it may re-candidate and
+    # admit later, once the host's queue has drained) — the Mercator/
+    # Heritrix per-host queue bound, transient where C38's lifetime
+    # page budget is permanent. Applies to the DISCOVERY admission
+    # path (seeds + extracted links + redirect/canonical targets);
+    # operator re-injections (reseed/revisit) bypass it by design.
+    # Composable with frontier_cap (quota shapes the ring's per-host
+    # mix, the clock sweep bounds its total); NOT combinable with
+    # pattern_budget / host_page_budget (joint sequential accounting).
+    host_frontier_quota: int | None = None
     # redirect knob (C24): every redirect_every'th outlink (hash-picked
     # per (page, k)) is emitted as an ALIAS URL `/r{j}` on the target's
     # host; fetching the alias 301s to the canonical page (which may be
@@ -998,6 +1011,21 @@ UNIT_CLKRS = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
 UNIT_CLOCKLW = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
                            batch_size=8, max_cycles=8, frontier_cap=14,
                            frontier_slack=6)
+# C40 per-host frontier quota: the dense mega-host (site 0, ~40 pages,
+# out_degree 6) floods the frontier without a quota; with each host's
+# pending share bounded at 5, its discoveries are admitted a few per
+# cycle as its queue drains, and earlier-dropped URLs re-candidate and
+# admit LATER (the transient-vs-lifetime distinction from C38 —
+# asserted in tests/test_host_quota.py)
+UNIT_QUOTA = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
+                         batch_size=8, max_cycles=8,
+                         host_frontier_quota=5)
+# C40 ∘ C39 composition: the quota shapes the ring's per-host mix
+# BEFORE the clock sweep bounds its total — both admission points
+# active, both twins share both rules
+UNIT_QCLK = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
+                        batch_size=8, max_cycles=8,
+                        host_frontier_quota=5, frontier_cap=14)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,
