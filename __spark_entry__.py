@@ -2,13 +2,14 @@
 
 ``entry`` runs the flagship broadcast-join aggregation on sf0.001;
 ``queries``/``oracle_sql`` expose the full operator surface from
-SURVEY.md §2. Registration order leads with the north-star surfaces —
-crawl engine (q80–q85; rows-only, semantics oracle-checked against the
-pure-Python refsim in tests/), streaming (q90–q92), similarity
-(q60/q61/q63), dedup clustering (q56) — then dedup (q50–q55), text
-analysis (q40–q44), and one relational query per operator, so the
-correctness harness's recording window covers every distinct
-capability; redundant relational family variants follow after.
+SURVEY.md §2 (161 registry pairs; crawl-engine queries carry
+refsim-generated DuckDB expectation oracles). Registration order is
+the documented rotation discipline (README "Query registry
+ordering"): the round-5 window leads with the 26 components earning
+their first hard CORRECTNESS rows (q124–q153 families), then one
+retained query per distinct component with the north-star crawl
+surface first; redundant family variants and already-hard-row
+contracts follow in the tail, all full-registry-checked per round.
 """
 
 from __future__ import annotations
