@@ -443,10 +443,13 @@ class CrawlEngine:
             )
         if g.host_frontier_quota is not None:
             # C40: the ring is empty at bootstrap, so the first
-            # `quota` seeds per host (seed-list order) fill each
-            # host's share; the rest stay unseen and may re-candidate
-            # once the host's queue drains
-            w_fq = Window.partitionBy("host").orderBy("pos")
+            # `quota` seeds per politeness bucket (seed-list order)
+            # fill each bucket's share; the rest stay unseen and may
+            # re-candidate once the bucket's queue drains. The bucket
+            # is the C33 politeness key — the registered domain under
+            # domain grouping (sub-hosts share one quota), the host
+            # itself otherwise.
+            w_fq = Window.partitionBy(self._pol_expr()).orderBy("pos")
             f0 = (
                 f0.withColumn("_fq", F.row_number().over(w_fq))
                 .filter(F.col("_fq") <= g.host_frontier_quota)
@@ -815,12 +818,16 @@ class CrawlEngine:
             # drains. Composes with C39 (the sweep below sees the
             # quota-shaped ring). Not combinable with C23/C38
             # (guarded in __init__; the refsim refuses identically).
-            hpend = queued.groupBy("host").agg(
+            # the quota bucket is the C33 politeness key (registered
+            # domain under domain grouping, else the host) — C33 ∘ C40:
+            # a domain's sub-hosts share ONE ring share
+            qpend = queued.groupBy(self._pol_expr().alias("_qkey")).agg(
                 F.count("*").cast("long").alias("n_admitted")
             )
             novel_probed = schedule.pattern_cap(
-                novel_probed, hpend, g.host_frontier_quota, keys=("host",)
-            )
+                novel_probed.withColumn("_qkey", self._pol_expr()),
+                qpend, g.host_frontier_quota, keys=("_qkey",),
+            ).drop("_qkey")
         novel_probed = novel_probed.persist()
 
         # per-partition (host_salt) lineage + counters: one tagged union

@@ -1294,6 +1294,37 @@ def q158_quota_clock(spark, sf):
     )
 
 
+def _engine_qdom(spark) -> CrawlEngine:
+    """UNIT_QDOM crawl: the C33 ∘ C40 composition — under domain
+    grouping the quota bucket is the PSL registered domain, so the
+    three grouped sub-hosts jointly hold one 6-entry ring share."""
+    from . import pin_session
+
+    pin_session(spark)
+    key = "unit-qdom"
+    if key not in _ENGINE_CACHE:
+        from ..synth import UNIT_QDOM
+
+        wh = tempfile.mkdtemp(prefix="crawlspark-q-")
+        eng = CrawlEngine(spark, EngineConfig(graph=UNIT_QDOM, warehouse=wh))
+        eng.run()
+        _ENGINE_CACHE[key] = eng
+    return _ENGINE_CACHE[key]
+
+
+def q159_domain_quota(spark, sf):
+    """C33 ∘ C40 through the driver's harness: the quota keyed by the
+    politeness bucket — grouped sub-hosts share ONE pending-ring
+    share (full-PSL registered-domain derivation on both sides), so
+    the attempt order diverges from both the host-keyed twin and the
+    quota-less domain-grouped crawl. Oracle: the UNIT_QDOM refsim's
+    q80 table."""
+    return _engine_qdom(spark).crawl_order().select(
+        "cycle_id", "batch_pos", "url_norm", "url_hash", "host", "score",
+        "seq", "depth", "attempt", "ok"
+    )
+
+
 def q154_evictions(spark, sf):
     """C39's audit log: every sweep victim with the cycle and the lap
     that took it (1 = unreferenced, 2 = evicted after its second
@@ -1351,6 +1382,7 @@ QUERIES = {
     "q156_clock_lowwater": q156_clock_lowwater,
     "q157_host_quota": q157_host_quota,
     "q158_quota_clock": q158_quota_clock,
+    "q159_domain_quota": q159_domain_quota,
 }
 
 ORACLE: dict[str, str] = {}
@@ -1493,4 +1525,8 @@ def build_oracle() -> dict[str, str]:
 
     sql["q157_host_quota"] = build_crawl_oracles(UNIT_QUOTA)["q80_crawl_order"]
     sql["q158_quota_clock"] = build_crawl_oracles(UNIT_QCLK)["q80_crawl_order"]
+    # q159: C33 ∘ C40 — the quota bucket is the registered domain
+    from ..synth import UNIT_QDOM
+
+    sql["q159_domain_quota"] = build_crawl_oracles(UNIT_QDOM)["q80_crawl_order"]
     return sql

@@ -207,15 +207,18 @@ class RefSim:
                     return
                 host_admits[host] = host_admits.get(host, 0) + 1
             if cfg.host_frontier_quota is not None:
-                # C40: bound the host's share of the pending ring —
-                # stay-unseen like C23/C38 (the URL may re-candidate
-                # and admit later, once this host's queue has drained)
+                # C40: bound the politeness BUCKET's share of the
+                # pending ring (registered domain under C33 grouping,
+                # else the host) — stay-unseen like C23/C38 (the URL
+                # may re-candidate and admit later, once the bucket's
+                # queue has drained)
+                qk = pk[host]
                 if (
-                    hq_pending0.get(host, 0) + cyc_hq_admits.get(host, 0)
+                    hq_pending0.get(qk, 0) + cyc_hq_admits.get(qk, 0)
                     >= cfg.host_frontier_quota
                 ):
                     return
-                cyc_hq_admits[host] = cyc_hq_admits.get(host, 0) + 1
+                cyc_hq_admits[qk] = cyc_hq_admits.get(qk, 0) + 1
             seen[u] = cycle
             if base is not None:
                 cyc_novel += 1
@@ -238,7 +241,8 @@ class RefSim:
                 hq_pending0.clear()
                 cyc_hq_admits.clear()
                 for _u, _tup in queued.items():
-                    hq_pending0[_tup[3]] = hq_pending0.get(_tup[3], 0) + 1
+                    _qk = pk[_tup[3]]
+                    hq_pending0[_qk] = hq_pending0.get(_qk, 0) + 1
             allow = {}
             for p in cap:
                 tokens[p] = min(cap[p], tokens[p] + refill[p])

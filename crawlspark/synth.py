@@ -103,8 +103,11 @@ class GraphConfig:
     # ~S/novel-rate cycles. The cap invariant (pending ≤ cap after
     # the merge) is unchanged. Must satisfy 0 ≤ slack < cap.
     frontier_slack: int = 0
-    # C40 (per-host frontier quota): bound each host's SHARE of the
-    # pending frontier. A novel admission for a host whose
+    # C40 (per-host frontier quota): bound each politeness BUCKET's
+    # SHARE of the pending frontier — the bucket is the C33 politeness
+    # key (the registered domain under domain_politeness, so a
+    # domain's sub-hosts share ONE quota; the host itself otherwise).
+    # A novel admission for a bucket whose
     # pending-at-cycle-start + admissions-this-cycle already reach the
     # quota stays UNSEEN (counts as deduped; it may re-candidate and
     # admit later, once the host's queue has drained) — the Mercator/
@@ -1026,6 +1029,15 @@ UNIT_QUOTA = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
 UNIT_QCLK = GraphConfig(n_sites=5, max_pages=40, out_degree=6,
                         batch_size=8, max_cycles=8,
                         host_frontier_quota=5, frontier_cap=14)
+# C33 ∘ C40 composition: under domain grouping the quota bucket is
+# the REGISTERED DOMAIN, so the grouped sub-hosts (subdomain_group=3
+# hosts share one PSL-registered domain) jointly hold a single
+# 6-entry ring share while independent hosts each get their own —
+# the attempt order diverges from both the host-keyed twin and the
+# quota-less UNIT_DOMGROUP
+UNIT_QDOM = GraphConfig(n_sites=6, max_pages=40, out_degree=6,
+                        batch_size=12, max_cycles=7, subdomain_group=3,
+                        domain_politeness=True, host_frontier_quota=6)
 T2 = GraphConfig(n_sites=50, max_pages=2000, batch_size=256, max_cycles=8)
 BENCH = GraphConfig(n_sites=800, max_pages=60000, out_degree=8,
                     batch_size=100000, max_cycles=6, token_mult=50,

@@ -83,6 +83,43 @@ def test_quota_clock_composition(spark):
     ) == sorted(ref.evictions)
 
 
+def test_domain_keyed_quota(spark):
+    """C33 ∘ C40: under domain grouping the quota bucket is the
+    registered domain — grouped sub-hosts jointly hold one ring
+    share, the order diverges from the HOST-keyed twin, and the
+    engine (full-PSL registered_domain expression feeding
+    pattern_cap) matches the sequential twin (pol_key_of_host
+    feeding the same rule)."""
+    from crawlspark.synth import UNIT_QDOM
+
+    ref = RefSim(UNIT_QDOM).run()
+    hostkey = RefSim(
+        dataclasses.replace(UNIT_QDOM, domain_politeness=False)
+    ).run()
+    assert ref.order != hostkey.order, "domain keying must bite"
+    eng = CrawlEngine(
+        spark, EngineConfig(graph=UNIT_QDOM, warehouse=tempfile.mkdtemp())
+    )
+    eng.run()
+    assert _order(eng) == [tuple(t) for t in ref.order]
+    # per-bucket pending bound: registered-domain shares ≤ quota
+    import pyspark.sql.functions as F
+
+    keys = ["url_hash", "url_norm"]
+    pending = eng.cat.read("frontier").join(
+        eng.cat.read("resolved").select(*keys), keys, "left_anti"
+    )
+    per_bucket = {
+        r["k"]: r["n"]
+        for r in pending.groupBy(
+            eng._pol_expr().alias("k")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert all(
+        n <= UNIT_QDOM.host_frontier_quota for n in per_bucket.values()
+    )
+
+
 def test_quota_not_combinable_with_budgets(spark):
     for field in ("pattern_budget", "host_page_budget"):
         cfg = dataclasses.replace(UNIT_QUOTA, **{field: 3})
