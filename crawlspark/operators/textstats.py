@@ -1254,6 +1254,18 @@ def weighted_sample_wor(
     + a k-row driver merge), never a full sort. Weights are clamped to
     [1, w_max]: ticket cost is bounded by design, and a caller with
     heavier-tailed weights tiers them into [1, w_max] first."""
+    w, pri = _ticket_priority(id_col, weight_col, salt, w_max)
+    return (
+        df.select(F.col(id_col), w.alias("w"), pri.alias("priority"))
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
+def _ticket_priority(id_col: str, weight_col: str, salt: str, w_max: int):
+    """The P59 ticket rule as (clamped weight, min-ticket priority)
+    column expressions — shared by the global (P59) and stratified
+    (P60) samplers so both draw from the identical lottery."""
     # coalesce BEFORE clamping: Spark's least/greatest skip nulls, so
     # least(w_max, NULL) would be w_max — a missing weight must degrade
     # to the minimum tier (1 ticket), not the maximum (SQL152 mirrors)
@@ -1275,8 +1287,52 @@ def weighted_sample_wor(
             ),
         )
     )
+    return w, pri
+
+
+def stratified_weighted_sample(
+    df: DataFrame, id_col: str, stratum_col: str, weight_col: str, k: int,
+    salt: str = "wsr1", w_max: int = 8, n_salt: int = 8,
+) -> DataFrame:
+    """P60: per-stratum weighted sampling WITHOUT replacement — the k
+    ticket-rule winners (P59's libm-free lottery, identical priority
+    values via _ticket_priority) within EVERY stratum. This is the
+    balanced-selection step a mixture build runs per language, per
+    source, or per quality band: each stratum contributes exactly
+    min(k, |stratum|) docs, drawn weight-proportionally without
+    replacement, deterministically from (salt, k) alone.
+
+    Output: (stratum, id, w, priority, rank) with rank ∈ [1, k] in
+    (priority, id) order — the per-stratum draw order, so a consumer
+    can take any prefix for a smaller k without redrawing.
+
+    Scale shape (10^9 docs, heavily skewed strata): a stratum is NOT
+    one window partition. Phase 1 ranks within (stratum, id-hash
+    salt) — n_salt bounded partitions per stratum, each keeping ≤ k —
+    and phase 2 exact-ranks the ≤ n_salt·k survivors per stratum: the
+    same two-phase salted-window discipline as the crawl's per-host
+    cap (operators/schedule.per_host_topk / pattern_cap), so one
+    mega-stratum never serializes a single task. Both phases shuffle
+    only (stratum, salt)-bounded rows; the priority itself is narrow
+    per-row array math (no explode — tickets fold inside one row)."""
+    from pyspark.sql import Window
+
+    w, pri = _ticket_priority(id_col, weight_col, salt, w_max)
+    base = (
+        df.select(
+            F.col(stratum_col).alias("stratum"), F.col(id_col),
+            w.alias("w"), pri.alias("priority"),
+        )
+        .withColumn(
+            "_s", F.pmod(md5hash60(F.col(id_col).cast("string")), F.lit(n_salt))
+        )
+    )
+    w1 = Window.partitionBy("stratum", "_s").orderBy("priority", id_col)
+    w2 = Window.partitionBy("stratum").orderBy("priority", id_col)
     return (
-        df.select(F.col(id_col), w.alias("w"), pri.alias("priority"))
-        .orderBy("priority", id_col)
-        .limit(k)
+        base.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("stratum", id_col, "w", "priority", "rank")
     )

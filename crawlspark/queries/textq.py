@@ -2044,6 +2044,43 @@ ORDER BY priority, doc_id LIMIT {_Q152_K}
 """
 
 
+_Q160_K = 5
+
+
+def q160_stratified_sample(spark, sf):
+    """P60 (operators/textstats.stratified_weighted_sample): the
+    balanced mixture draw — q152's length-tiered ticket lottery run
+    independently WITHIN each source, k = 5 winners per stratum, so
+    every source contributes a fixed-size weight-proportional subset
+    (the per-language/per-source balanced-selection step of a
+    training-mix build). Identical ticket priorities to q152 (shared
+    _ticket_priority, same salt), so the two samples are consistent
+    views of one lottery; the per-stratum top-k runs as the two-phase
+    salted window (no mega-stratum serializes a task)."""
+    d = T(spark, sf, "documents").select(
+        "doc_id", "source",
+        (1 + F.least(F.lit(7), F.floor(F.col("n_chars") / 64))).alias("w_raw"),
+    )
+    return textstats.stratified_weighted_sample(
+        d, "doc_id", "source", "w_raw", k=_Q160_K
+    ).withColumnRenamed("stratum", "source")
+
+
+SQL160 = f"""
+SELECT source, doc_id, w, priority, rank FROM (
+  SELECT source, doc_id, w, priority,
+         row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rank
+  FROM (
+    SELECT source, doc_id, w,
+           list_min(list_transform(generate_series(1, CAST(w AS INT)),
+               j -> {_H("concat_ws('#', 'wsr1', CAST(doc_id AS VARCHAR), CAST(j AS VARCHAR))")})) AS priority
+    FROM (SELECT source, doc_id,
+                 CAST(coalesce(1 + least(7, CAST(floor(n_chars / 64) AS BIGINT)), 1) AS BIGINT) AS w
+          FROM documents)))
+WHERE rank <= {_Q160_K}
+"""
+
+
 # --- DSIR importance resampling (P55) --------------------------------------
 
 _Q140_DIMS = 512
@@ -2148,6 +2185,7 @@ QUERIES = {
     "q150_orc_roundtrip": q150_orc_roundtrip,
     "q151_gopher_rules": q151_gopher_rules,
     "q152_weighted_sample": q152_weighted_sample,
+    "q160_stratified_sample": q160_stratified_sample,
 }
 
 ORACLE = {
@@ -2186,4 +2224,5 @@ ORACLE = {
     "q150_orc_roundtrip": SQL150,
     "q151_gopher_rules": SQL151,
     "q152_weighted_sample": SQL152,
+    "q160_stratified_sample": SQL160,
 }

@@ -64,6 +64,63 @@ def test_partitioning_invariant(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def _strata_docs(spark, n=300):
+    return _docs(spark, n).withColumn(
+        "src", F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"))
+    )
+
+
+def test_stratified_matches_sequential_twin(spark):
+    """P60: per-stratum winners == the pure-Python twin's per-stratum
+    (priority, id) prefixes, with identical priorities to P59's
+    lottery (shared ticket rule) and exactly k rows per stratum."""
+    k = 7
+    got = textstats.stratified_weighted_sample(
+        _strata_docs(spark), "doc_id", "src", "w_raw", k=k
+    )
+    rows = sorted(
+        (r["stratum"], r["rank"], r["doc_id"], r["w"], r["priority"])
+        for r in got.collect()
+    )
+    exp = []
+    for s in range(4):
+        members = sorted(
+            (_pri_py(i, i % 8 + 1), i) for i in range(300) if i % 4 == s
+        )[:k]
+        exp += [
+            (f"s{s}", rank, i, i % 8 + 1, p)
+            for rank, (p, i) in enumerate(members, 1)
+        ]
+    assert rows == sorted(exp)
+    per = {s: sum(1 for r in rows if r[0] == s) for s in {r[0] for r in rows}}
+    assert set(per.values()) == {k}
+
+
+def test_stratified_null_weight_degrades_to_one_ticket(spark):
+    d = _strata_docs(spark).withColumn(
+        "w_raw", F.when(F.col("doc_id") < 150, F.col("w_raw"))
+    )
+    got = textstats.stratified_weighted_sample(
+        d, "doc_id", "src", "w_raw", k=5
+    )
+    null_side = got.filter(F.col("doc_id") >= 150).collect()
+    assert all(r["w"] == 1 for r in null_side)
+
+
+def test_stratified_two_phase_salted_plan(spark):
+    """The per-stratum top-k must run the two-phase salted window —
+    phase 1 partitioned by (stratum, salt) so a mega-stratum never
+    serializes one task — with no Python eval."""
+    got = textstats.stratified_weighted_sample(
+        _strata_docs(spark), "doc_id", "src", "w_raw", k=5
+    )
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Window") >= 2, p
+    assert "_s" in p, p  # the salted phase-1 partition key
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in p, p
+
+
 def test_plan_is_shuffle_free_topk(spark):
     """Priority math is narrow; the top-k is TakeOrderedAndProject —
     no Exchange, no sort-the-world, no Python eval in the plan."""
